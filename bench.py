@@ -1,0 +1,78 @@
+"""
+Headline benchmark: Pauli-SpMV throughput (matrix nonzeros per second per
+chip) of the matrix-free matvec on the L=24 MBL-Heisenberg model, full
+Hilbert space, single chip — the hot kernel under every evolve()/eigsolve().
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "nnz/s/chip", "vs_baseline": N}
+
+vs_baseline is the ratio against 1e10 nnz/s — a speed-of-light estimate for
+the reference implementation on one CPU node (the reference is
+memory-bandwidth-bound, docs/FAQ.rst:33-47: ~200 GB/s node bandwidth /
+~16 bytes per nonzero touched ≈ 1.25e10; rounded to 1e10 since the reference
+publishes no measured numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dynamite_tpu import config
+    from dynamite_tpu.models import localized
+    from dynamite_tpu.subspaces import Full
+
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    config.precision = 'single'
+    config.L = L
+    config._initialize()
+
+    H = localized(L)
+    # normalize the spectrum so chained applications stay bounded in f32
+    H.scale(1.0 / float(np.sum(np.abs(H.msc['coeffs']))))
+    sub = Full(L=L)
+    H.add_subspace(sub)
+    kernel = H.get_mat(subspaces=(sub, sub))
+
+    dim = 1 << L
+    nnz_per_row = H.nnz
+    total_nnz = dim * nnz_per_row
+
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((2, dim)).astype(np.float32)
+    x /= np.linalg.norm(x)
+    xd = jnp.asarray(x)
+
+    # warmup + compile
+    y = kernel.apply(xd)
+    y.block_until_ready()
+
+    # steady-state: chain applications so we measure the kernel, not dispatch
+    start = time.perf_counter()
+    v = xd
+    for _ in range(reps):
+        v = kernel.apply(v)
+    v.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    nnz_per_sec = total_nnz * reps / elapsed
+
+    baseline = 1e10  # see module docstring
+    print(json.dumps({
+        'metric': f'pauli_spmv_L{L}_mbl_nnz_per_sec_per_chip',
+        'value': nnz_per_sec,
+        'unit': 'nnz/s',
+        'vs_baseline': nnz_per_sec / baseline,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,298 @@
+"""
+High-level computations: time evolution, eigensolving, reduced density
+matrices and entropies.
+
+Reference analog: src/dynamite/computations.py (there, thin wrappers over
+SLEPc MFN/EPS and the C RDM kernel; here, wrappers over the JAX Krylov
+solvers in dynamite_tpu.solvers and a reshape/matmul RDM).
+"""
+
+import numpy as np
+
+from . import config
+from .solvers.expmv import expmv, ConvergenceError, MaxIterationsError
+from .solvers.eigs import eigsolve_trlanczos, ritz_vectors
+
+DEFAULT_NCV_EVOLVE = 30
+
+
+def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
+           max_its=None):
+    r"""Evolve a state under the Schrodinger equation:
+    :math:`\Psi_t = e^{-iHt}\Psi_0`.
+
+    Parameters mirror the reference's evolve (computations.py:10-126);
+    ``algo`` is accepted for compatibility (the Krylov/Expokit stepping
+    scheme is always used). ``t`` may be complex for imaginary-time
+    evolution.
+    """
+    state.assert_initialized()
+    config._initialize()
+
+    H.establish_L()
+
+    if not H.has_subspace(state.subspace, state.subspace):
+        raise ValueError('Hamiltonian and state are defined on different '
+                         'subspaces.')
+
+    from .states import State
+    if result is None:
+        result = State(L=H.L, subspace=state.subspace)
+    elif state.subspace != result.subspace:
+        raise ValueError('input and result states are on different '
+                         'subspaces.')
+
+    if t == 0.0:
+        state.copy(result)
+        return result
+
+    if ncv is None:
+        ncv = DEFAULT_NCV_EVOLVE
+    if tol is None:
+        tol = 1e-7
+
+    kernel = H.get_mat(subspaces=(state.subspace, state.subspace))
+    sharded = kernel.should_shard(state.data)
+    kops = kernel.krylov_ops(min(ncv, len(state)), sharded=sharded)
+
+    # cheap operator-norm upper bound sum_t |c_t| for the stepping heuristic
+    anorm = float(np.sum(np.abs(H.msc['coeffs'])))
+
+    scale = -1j * t
+
+    result.data = expmv(kops, state.data, scale, anorm, ncv=ncv, tol=tol,
+                        max_its=max_its)
+    result.set_initialized()
+    return result
+
+
+def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
+             subspace=None, max_its=None, ncv=None):
+    r"""Solve for a subset of the Hamiltonian's eigenpairs.
+
+    Parameters mirror the reference (computations.py:128-292). ``which`` is
+    one of 'lowest', 'highest', 'exterior', or 'target' (with ``target``
+    set).
+    """
+    H.establish_L()
+
+    if subspace is None:
+        subspace = H.subspace
+    elif not H.has_subspace(subspace):
+        raise ValueError('Requested subspace has not been added to operator.')
+
+    config._initialize()
+
+    if which in ('smallest', 'largest'):
+        import warnings
+        warnings.warn('values "smallest" and "largest" for eigsolve '
+                      'parameter "which" are deprecated, and have been '
+                      'replaced by "lowest" and "highest" respectively.',
+                      DeprecationWarning, stacklevel=2)
+        which = {'smallest': 'lowest', 'largest': 'highest'}[which]
+
+    if target is not None:
+        which = 'target'
+    elif which == 'target':
+        raise ValueError("Must specify target when setting which='target'")
+
+    kernel = H.get_mat(subspaces=(subspace, subspace))
+    dim = subspace.get_dimension()
+
+    if which == 'target':
+        return _eigsolve_target(H, kernel, dim, nev, target, tol, getvecs,
+                                max_its, ncv, subspace)
+
+    if ncv is None:
+        ncv = min(dim - 1 if dim > 2 else dim, max(2 * nev + 10, 20))
+    ncv = min(ncv, dim)
+
+    dtype = config.real_dtype
+    kops = kernel.krylov_ops(ncv, sharded=False)
+
+    evals, S, V = eigsolve_trlanczos(
+        kops, dim, dtype, nev=nev, which=which, tol=tol,
+        max_restarts=max_its)
+
+    if not getvecs:
+        return np.asarray(evals, dtype=float)
+
+    from .states import State
+    evecs = []
+    for i, vec in enumerate(ritz_vectors(S, V, dtype)):
+        v = State(L=H.L, subspace=subspace)
+        v.data = vec
+        v.set_initialized()
+        evecs.append(v)
+    return np.asarray(evals, dtype=float), evecs
+
+
+def _eigsolve_target(H, kernel, dim, nev, target, tol, getvecs, max_its,
+                     ncv, subspace):
+    """Interior eigenvalues near ``target``.
+
+    The reference does this with SLEPc shift-invert + a MUMPS direct solve,
+    which it refuses for matrix-free (shell) operators
+    (computations.py:211-220). Here every operator is matrix-free, so we
+    use the polynomial spectral-fold approach: the lowest eigenvalues of
+    (H - target)^2 are the ones closest to the target. Convergence is
+    slower than a direct shift-invert but requires only matvecs — the
+    TPU-idiomatic tradeoff.
+    """
+    # build (H - target)^2 symbolically: same MSC machinery, squared terms
+    from .ops import msc as msc_tools
+    from .operators import Operator
+    H.reduce_msc()
+    shifted = msc_tools.msc_sum(
+        [H.msc, msc_tools.msc_from_arrays([0], [0], [-target])])
+    folded_msc = msc_tools.msc_product([shifted, shifted])
+    folded = Operator(msc=folded_msc)
+    folded._subspaces = [(l, r) for (l, r) in H.get_subspace_list()]
+    folded.allow_projection = H.allow_projection
+
+    # folding squares the spectrum near the target, making nearby pairs of
+    # folded eigenvalues (nearly) degenerate; solve for a few extra vectors
+    # and un-mix them with a Rayleigh-Ritz step on H below
+    nev_f = min(dim, nev + 4)
+
+    if ncv is None:
+        ncv = min(dim - 1 if dim > 2 else dim, max(2 * nev_f + 25, 40))
+    ncv = min(ncv, dim)
+
+    dtype = config.real_dtype
+    fkernel = folded.get_mat(subspaces=(subspace, subspace))
+    kops = fkernel.krylov_ops(ncv, sharded=False)
+
+    evals_sq, S, V = eigsolve_trlanczos(
+        kops, dim, dtype, nev=nev_f, which='lowest', tol=tol,
+        max_restarts=max_its)
+
+    # Rayleigh-Ritz of H within the span of the converged folded vectors
+    from .states import State
+    import scipy.linalg
+    vecs = ritz_vectors(S, V, dtype)
+    states = []
+    for vec in vecs:
+        v = State(L=H.L, subspace=subspace)
+        v.data = vec
+        v.set_initialized()
+        states.append(v)
+    hstates = [H.dot(v) for v in states]
+    n = len(states)
+    A = np.zeros((n, n), dtype=complex)
+    B = np.zeros((n, n), dtype=complex)
+    for i in range(n):
+        for j in range(n):
+            A[i, j] = states[i].dot(hstates[j])
+            B[i, j] = states[i].dot(states[j])
+    theta, C = scipy.linalg.eigh(A, B)
+
+    order = np.argsort(np.abs(theta - target))[:nev]
+    evals = np.asarray(theta[order], dtype=float)
+
+    if not getvecs:
+        return evals
+
+    evecs = []
+    for idx in order:
+        out = states[0].copy()
+        out.scale(complex(C[0, idx]))
+        for i in range(1, n):
+            out.axpy(complex(C[i, idx]), states[i])
+        out.normalize()
+        evecs.append(out)
+    return evals, evecs
+
+
+def reduced_density_matrix(state, keep):
+    """Trace out all spins except those in ``keep`` (a strictly increasing
+    list of spin indices); returns the 2**len(keep) density matrix as a
+    host numpy array.
+
+    TPU-native formulation: the state, viewed as a [2]*L tensor, is
+    transposed so the kept spins lead, reshaped to (2^k, 2^(L-k)), and
+    contracted rho = V V^dagger — one MXU matmul instead of the reference's
+    gather-to-rank-0 outer-product loop (bpetsc_template_1.c:87-165, a
+    known scalability bottleneck acknowledged in docs/FAQ.rst:35).
+    """
+    state.assert_initialized()
+    config._initialize()
+
+    if not state.subspace.product_state_basis:
+        raise ValueError('reduced density matrices currently only supported '
+                         'for product state basis subspace types.')
+
+    keep = np.asarray(keep, dtype=np.int64).reshape(-1)
+    if keep.size == 0:
+        return np.array([[1]], dtype=np.complex128)
+    if np.any(keep[1:] <= keep[:-1]):
+        raise ValueError('keep array must be strictly increasing')
+    if np.any(keep < 0):
+        raise ValueError(f'spin index less than zero. keep: {keep}')
+    L = state.L
+    if np.any(keep > L):
+        raise ValueError('spin index greater than spin chain length minus '
+                         f'one. keep: {keep}')
+
+    from .ops.rdm import rdm_host
+    return rdm_host(state, keep)
+
+
+def entanglement_entropy(state, keep):
+    """Bipartite Von Neumann entanglement entropy across the cut defined by
+    ``keep``."""
+    reduced = reduced_density_matrix(state, keep)
+    return dm_entanglement_entropy(reduced)
+
+
+def dm_entanglement_entropy(dm):
+    """Von Neumann entropy of a density matrix."""
+    w = np.linalg.eigvalsh(dm)
+    log = np.zeros(w.shape)
+    np.log(w, where=w > 0, out=log)
+    return -np.sum(w * log)
+
+
+def renyi_entropy(state, keep, alpha, method='eigsolve'):
+    """Renyi entropy of the reduced density matrix on ``keep``."""
+    reduced = reduced_density_matrix(state, keep)
+    return dm_renyi_entropy(reduced, alpha, method)
+
+
+def dm_renyi_entropy(dm, alpha, method='eigsolve'):
+    """Renyi entropy H_alpha = log(Tr rho^alpha) / (1 - alpha), with the
+    alpha in {0, 1, 'inf'} limits handled."""
+    if alpha == 0:
+        eps = 1e-10
+        eigs = np.linalg.eigvalsh(dm)
+        return np.log(np.sum(eigs > eps))
+    if alpha == 1:
+        return dm_entanglement_entropy(dm)
+    if alpha == 'inf':
+        eigs = np.linalg.eigvalsh(dm)
+        return -np.log(np.max(eigs))
+
+    if method == 'matrix_power':
+        if alpha != int(alpha):
+            raise TypeError('alpha must be an integer for matrix_power '
+                            'method.')
+        trace = np.trace(np.linalg.matrix_power(dm, int(alpha))).real
+    elif method == 'eigsolve':
+        w = np.linalg.eigvalsh(dm)
+        trace = np.sum(w ** alpha)
+    else:
+        raise ValueError('Valid methods are "eigsolve" and "matrix_power"')
+
+    return 1 / (1 - alpha) * np.log(trace)
+
+
+def get_tstep(ncv, nrm, tol=1e-7):
+    """Length of an Expokit substep (reference: computations.py:511-519)."""
+    from .solvers.expmv import initial_tstep
+    return initial_tstep(ncv, nrm, tol)
+
+
+def estimate_compute_time(t, ncv, nrm, tol=1e-7):
+    """Estimated cost of an expmv solve in units of matvecs."""
+    tstep = get_tstep(ncv, nrm, tol)
+    return ncv * np.ceil(t / tstep)

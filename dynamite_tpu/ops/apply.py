@@ -1,0 +1,382 @@
+"""
+The matrix-free Pauli-string matvec engine.
+
+An operator's MSC terms, grouped by mask, compile at trace time into a fused
+sweep: for each unique mask m,
+
+    y[row] += f_m(bra) * x[col(bra)],   bra = i2s_left(row) ^ m
+    f_m(bra) = sum_{terms t with mask m} coeff_t * (-1)**parity(bra & sign_t)
+    col(bra) = s2i_right(bra)   (contribution dropped where invalid)
+
+This is the row-oriented (gather, no scatter) formulation of the reference's
+shell MatMult (bpetsc_template_2.c:371-504), JIT-specialized per
+(left, right) subspace pair instead of C-macro-templated per pair
+(bpetsc_impl.c:22-163).
+
+Fast path: when both subspaces are Full (or both Parity in the same sector),
+col(bra) == row ^ m' for a reduced mask m', a pure XOR permutation — lowered
+as axis flips of the [2]*L-reshaped state (a strided copy, no gather), and
+in the distributed case as a pairwise lax.ppermute over the mesh axis for
+the high (device) bits, the TPU analog of the reference's
+rank = high-bits trick (bpetsc_template_2.c:781-783).
+
+Scan path: operators with many mask groups (e.g. SYK) compile to a
+lax.scan over (mask, term-chunk) pairs instead of an unrolled loop, keeping
+XLA program size bounded.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..utils.bitwise import parity as parity_np
+from . import msc as msc_mod
+from .index_maps import device_map, parity_j, FullMap, ParityMap
+
+# groups with more terms than this get chunked in the scan path
+TERM_CHUNK = 8
+# operators with more mask groups than this use the scan path
+UNROLL_GROUP_LIMIT = 128
+# and with more total terms than this
+UNROLL_TERM_LIMIT = 512
+
+
+def _is_xor_pair(left, right):
+    """Whether col(bra) reduces to a pure XOR permutation of row indices."""
+    from .. import subspaces as sp
+    if isinstance(left, sp.XParity):
+        left = left.parent
+    if isinstance(right, sp.XParity):
+        right = right.parent
+    if isinstance(left, sp.Full) and isinstance(right, sp.Full):
+        return True
+    if (isinstance(left, sp.Parity) and isinstance(right, sp.Parity)):
+        return True
+    return False
+
+
+class _Plan:
+    """Host-side compilation plan for one (msc, left, right) triple."""
+
+    def __init__(self, msc, left, right):
+        from .. import subspaces as sp
+
+        msc = msc_mod.combine_terms(msc)
+        self.L = left.L
+        self.dim_left = left.get_dimension()
+        self.dim_right = right.get_dimension()
+        self.left_map = device_map(left)
+        self.right_map = device_map(right)
+        self.int_dtype = np.int32 if self.L <= 31 else np.int64
+
+        self.xor_mode = _is_xor_pair(left, right)
+
+        lbase = left.parent if isinstance(left, sp.XParity) else left
+        rbase = right.parent if isinstance(right, sp.XParity) else right
+
+        masks, offsets = msc_mod.mask_groups(msc)
+        groups = []
+        for g, m in enumerate(masks):
+            sl = slice(offsets[g], offsets[g + 1])
+            signs = msc['signs'][sl].astype(np.int64)
+            coeffs = msc['coeffs'][sl].astype(np.complex128)
+            m = int(m)
+
+            if self.xor_mode:
+                if isinstance(lbase, sp.Parity):
+                    # validity of s2i is uniform over the group:
+                    # parity(bra) = left.space ^ parity(m) must equal
+                    # right.space
+                    if (lbase.space ^ int(parity_np(np.int64(m)))) \
+                            != rbase.space:
+                        continue  # projected away entirely
+                    perm_mask = m >> 1
+                else:
+                    perm_mask = m
+            else:
+                perm_mask = None
+
+            groups.append((m, perm_mask, signs, coeffs))
+
+        self.groups = groups
+        self.nterms = sum(len(g[2]) for g in groups)
+        self.use_scan = (len(groups) > UNROLL_GROUP_LIMIT
+                         or self.nterms > UNROLL_TERM_LIMIT)
+
+    # ---- shared pieces ------------------------------------------------------
+
+    def row_states(self, rows):
+        return self.left_map.i2s(rows)
+
+    def group_coefficient(self, bra, signs, coeffs, dtype):
+        """f_m(bra): sum over the group's terms of coeff * Walsh sign."""
+        fr = None
+        fi = None
+        one = jnp.asarray(1, bra.dtype)
+        two = jnp.asarray(2, bra.dtype)
+        for s, c in zip(signs, coeffs):
+            w = (one - two * parity_j(bra & jnp.asarray(s, bra.dtype))
+                 ).astype(dtype)
+            cr, ci = float(c.real), float(c.imag)  # weak-typed scalars
+            if cr != 0:
+                fr = cr * w if fr is None else fr + cr * w
+            if ci != 0:
+                fi = ci * w if fi is None else fi + ci * w
+        return fr, fi
+
+
+def _accumulate(y, fr, fi, xp):
+    """y += (fr + i fi) * xp over the stacked-real layout."""
+    yr, yi = y
+    xr, xi = xp[0], xp[1]
+    if fr is not None:
+        yr = yr + fr * xr
+        yi = yi + fr * xi
+    if fi is not None:
+        yr = yr - fi * xi
+        yi = yi + fi * xr
+    return (yr, yi)
+
+
+def xor_flip(x, mask, nbits):
+    """x[..., k ^ mask] as a sequence of axis flips (no gather).
+
+    ``x`` has a trailing state axis of length 2**nbits; ``mask`` is a static
+    int. Bit b of the state corresponds (C-order) to reshaped axis
+    (nbits-1-b) of the state axis.
+    """
+    if mask == 0:
+        return x
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (2,) * nbits)
+    axes = tuple(len(lead) + (nbits - 1 - b)
+                 for b in range(nbits) if (mask >> b) & 1)
+    x = jnp.flip(x, axis=axes)
+    return x.reshape(lead + (1 << nbits,))
+
+
+def _iota(n, dtype):
+    return lax.broadcasted_iota(dtype, (n,), 0)
+
+
+class OperatorKernel:
+    """A compiled matrix-free matvec y = A @ x for one subspace pair.
+
+    ``apply(x)`` takes the (2, dim_right) stacked-real state and returns the
+    (2, dim_left) result. When x is sharded over the mesh state axis and the
+    plan supports it, the distributed (ppermute) path is used.
+    """
+
+    def __init__(self, msc, left, right, mesh=None):
+        self.plan = _Plan(msc, left, right)
+        self.mesh = mesh
+        self._local_callable = self._build_local()
+        self._local_fn = jax.jit(self._local_callable)
+        self._sharded_callable = None  # built lazily
+        self._sharded_fn = None
+        self._krylov_ops = {}
+
+    # -- public ---------------------------------------------------------------
+
+    def apply(self, x):
+        if self._use_sharded(x):
+            return self.sharded_fn(x)
+        return self._local_fn(x)
+
+    def traceable(self, sharded=False):
+        """The unjitted apply callable, for embedding in larger programs
+        (Krylov solvers trace it into their fused iteration)."""
+        if sharded:
+            if self._sharded_callable is None:
+                self._sharded_callable = self._build_sharded_callable()
+            return self._sharded_callable
+        return self._local_callable
+
+    def should_shard(self, x):
+        return self._use_sharded(x)
+
+    def krylov_ops(self, m, sharded=False):
+        """Cached compiled Krylov building blocks for subspace size m."""
+        key = (m, sharded)
+        if key not in self._krylov_ops:
+            from ..solvers.krylov import KrylovOps
+            self._krylov_ops[key] = KrylovOps(self.traceable(sharded), m)
+        return self._krylov_ops[key]
+
+    def _use_sharded(self, x):
+        if self.mesh is None or self.mesh.devices.size == 1:
+            return False
+        sharding = getattr(x, 'sharding', None)
+        if not isinstance(sharding, NamedSharding):
+            return False
+        if sharding.spec != P(None, self.mesh.axis_names[0]):
+            return False
+        return self.sharded_supported
+
+    @property
+    def sharded_supported(self):
+        p = self.plan
+        if not p.xor_mode or p.dim_left != p.dim_right:
+            return False
+        nd = self.mesh.devices.size if self.mesh is not None else 1
+        return (nd & (nd - 1)) == 0 and p.dim_right % nd == 0
+
+    @property
+    def sharded_fn(self):
+        if self._sharded_fn is None:
+            self._sharded_fn = jax.jit(self.traceable(sharded=True))
+        return self._sharded_fn
+
+    # -- local (single device / replicated) path --------------------------------
+
+    def _build_local(self):
+        plan = self.plan
+        if plan.use_scan:
+            return self._build_local_scan()
+
+        def apply_fn(x):
+            dtype = x.dtype
+            idt = plan.int_dtype
+            rows = _iota(plan.dim_left, idt)
+            row_states = plan.row_states(rows)
+            y = (jnp.zeros(plan.dim_left, dtype),
+                 jnp.zeros(plan.dim_left, dtype))
+
+            nbits = plan.dim_right.bit_length() - 1
+            for m, perm_mask, signs, coeffs in plan.groups:
+                bra = row_states ^ jnp.asarray(m, idt)
+                fr, fi = plan.group_coefficient(bra, signs, coeffs, dtype)
+
+                if plan.xor_mode:
+                    xp = xor_flip(x, perm_mask, nbits)
+                else:
+                    col, valid = plan.right_map.s2i(bra)
+                    col = jnp.where(valid, col, 0)
+                    xp = x[:, col]
+                    ok = valid.astype(dtype)
+                    if fr is not None:
+                        fr = fr * ok
+                    if fi is not None:
+                        fi = fi * ok
+
+                y = _accumulate(y, fr, fi, xp)
+
+            return jnp.stack(y)
+
+        return apply_fn
+
+    def _build_local_scan(self):
+        plan = self.plan
+        masks_c, signs_c, cr_c, ci_c = _chunked_arrays(plan.groups)
+
+        def apply_fn(x):
+            dtype = x.dtype
+            idt = plan.int_dtype
+            rows = _iota(plan.dim_left, idt)
+            row_states = plan.row_states(rows)
+            y0 = jnp.zeros((2, plan.dim_left), dtype)
+
+            masks_d = jnp.asarray(masks_c, idt)
+            signs_d = jnp.asarray(signs_c, idt)
+            cr_d = jnp.asarray(cr_c, dtype)
+            ci_d = jnp.asarray(ci_c, dtype)
+
+            def step(y, args):
+                m, signs, cr, ci = args
+                bra = row_states ^ m
+                # (dim, T) Walsh signs, contracted against the chunk coeffs;
+                # zero-padded coefficients contribute nothing
+                w = (1 - 2 * parity_j(bra[:, None] & signs[None, :])
+                     ).astype(dtype)
+                fr = w @ cr
+                fi = w @ ci
+
+                col, valid = plan.right_map.s2i(bra)
+                col = jnp.where(valid, col, 0)
+                xp = x[:, col]
+                ok = valid.astype(dtype)
+                fr = fr * ok
+                fi = fi * ok
+
+                yr = y[0] + fr * xp[0] - fi * xp[1]
+                yi = y[1] + fr * xp[1] + fi * xp[0]
+                return jnp.stack([yr, yi]), None
+
+            y, _ = lax.scan(step, y0, (masks_d, signs_d, cr_d, ci_d))
+            return y
+
+        return apply_fn
+
+    # -- distributed (shard_map + ppermute) path ----------------------------------
+
+    def _build_sharded_callable(self):
+        plan = self.plan
+        mesh = self.mesh
+        nd = mesh.devices.size
+        local_dim = plan.dim_right // nd
+        local_bits = local_dim.bit_length() - 1
+        axis = mesh.axis_names[0]
+
+        # group the mask groups by which device-permutation they induce, so
+        # each distinct high mask costs exactly one ppermute
+        by_hi = {}
+        for g in plan.groups:
+            m_hi = g[1] >> local_bits
+            by_hi.setdefault(m_hi, []).append(g)
+
+        def local_fn(x_local):
+            # x_local: (2, local_dim)
+            dtype = x_local.dtype
+            idt = plan.int_dtype
+            me = lax.axis_index(axis).astype(idt)
+            j = _iota(local_dim, idt)
+            rows = (me << local_bits) | j
+            row_states = plan.row_states(rows)
+
+            y = (jnp.zeros(local_dim, dtype), jnp.zeros(local_dim, dtype))
+
+            for m_hi, groups in sorted(by_hi.items()):
+                if m_hi == 0:
+                    src = x_local
+                else:
+                    src = lax.ppermute(
+                        x_local, axis,
+                        [(i, i ^ m_hi) for i in range(nd)])
+                for m, perm_mask, signs, coeffs in groups:
+                    m_lo = perm_mask & (local_dim - 1)
+                    xp = xor_flip(src, m_lo, local_bits)
+                    bra = row_states ^ jnp.asarray(m, idt)
+                    fr, fi = plan.group_coefficient(bra, signs, coeffs,
+                                                    dtype)
+                    y = _accumulate(y, fr, fi, xp)
+
+            return jnp.stack(y)
+
+        return jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=P(None, axis), out_specs=P(None, axis))
+
+
+def _chunked_arrays(groups, chunk=TERM_CHUNK):
+    """Split mask groups into fixed-size term chunks, zero-padding the
+    coefficients (a zero coefficient contributes nothing, so no mask array
+    is needed)."""
+    masks, signs, crs, cis = [], [], [], []
+    for m, _perm, s, c in groups:
+        for start in range(0, len(s), chunk):
+            sl = slice(start, start + chunk)
+            s_pad = np.zeros(chunk, dtype=np.int64)
+            c_pad = np.zeros(chunk, dtype=np.complex128)
+            piece_s = s[sl]
+            piece_c = c[sl]
+            s_pad[:len(piece_s)] = piece_s
+            c_pad[:len(piece_c)] = piece_c
+            masks.append(m)
+            signs.append(s_pad)
+            crs.append(c_pad.real.copy())
+            cis.append(c_pad.imag.copy())
+    return (np.asarray(masks, dtype=np.int64), np.stack(signs),
+            np.stack(crs), np.stack(cis))

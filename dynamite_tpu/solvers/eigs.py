@@ -1,0 +1,143 @@
+"""
+Thick-restart Lanczos eigensolver (the Hermitian specialization of
+Krylov-Schur) — the reimplementation of SLEPc's EPS used by the reference
+(reference call site: computations.py:128-292).
+
+Host code orchestrates restarts; each restart cycle runs as one fused device
+program (see solvers.krylov). The projected problem (a small real symmetric
+arrowhead+tridiagonal matrix) is solved on the host with numpy.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import krylov
+from .expmv import ConvergenceError, MaxIterationsError
+
+
+def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
+                       max_restarts=None, seed=0, v0=None):
+    """Solve for ``nev`` eigenvalues of the Hermitian operator.
+
+    Parameters
+    ----------
+    kops : KrylovOps
+        Compiled Krylov building blocks (m = ncv).
+    dim : int
+        The space dimension.
+    dtype : numpy dtype
+        Real dtype of the state representation.
+    nev : int
+        Number of eigenpairs wanted.
+    which : str
+        'lowest' | 'highest' | 'exterior' (largest magnitude).
+    tol : float, optional
+        Residual tolerance relative to the eigenvalue scale.
+    max_restarts : int, optional
+
+    Returns
+    -------
+    (evals, eigvec_coeffs, V) where evals is (nconv,) float64 and
+    eigvec_coeffs @ V gives the eigenvectors; use :func:`ritz_vectors`.
+    """
+    m = kops.m
+    if nev >= m:
+        raise ValueError(f'ncv ({m}) must be larger than nev ({nev})')
+    if tol is None:
+        tol = 1e-9 if np.dtype(dtype) == np.float64 else 1e-6
+    if max_restarts is None:
+        max_restarts = 1000
+
+    if v0 is None:
+        rng = np.random.RandomState(seed)
+        host = rng.standard_normal((2, dim))
+        host /= np.linalg.norm(host)
+        v0 = jnp.asarray(host, dtype=dtype)
+
+    # number of Ritz pairs retained through a restart
+    p = min(m - 1, max(nev + 5, (m + nev) // 2))
+
+    V, alpha, beta = kops.lanczos(v0)
+    alpha_h = np.asarray(alpha, dtype=np.float64)
+    beta_h = np.asarray(beta, dtype=np.float64)
+
+    # projected matrix: tridiagonal on the first cycle
+    M = _tridiag(alpha_h, beta_h)
+    beta_res = beta_h[m - 1]
+
+    for restart in range(max_restarts):
+        theta, S = np.linalg.eigh(M)
+        order = _ordering(theta, which)
+        theta = theta[order]
+        S = S[:, order]
+
+        # residual estimate per Ritz pair: |beta_m * (last component)|
+        resid = np.abs(beta_res * S[m - 1, :])
+        scale = np.maximum(np.abs(theta), 1e-30)
+        converged = resid <= tol * scale
+
+        if np.all(converged[:nev]):
+            nconv = nev
+            while nconv < m and converged[nconv]:
+                nconv += 1
+            return theta[:nconv], S[:, :nconv], V
+
+        # ---- thick restart ----
+        C = np.zeros((m + 1, m + 1))
+        C[:p, :m] = S[:, :p].T           # retained Ritz vectors
+        C[p, m] = 1.0                    # the residual direction v_m
+        V = krylov.recombine_basis(V, jnp.asarray(C, dtype=dtype))
+
+        V, alpha, beta = kops.lanczos_restarted(V, p)
+        alpha_h = np.asarray(alpha, dtype=np.float64)
+        beta_h = np.asarray(beta, dtype=np.float64)
+
+        M = np.zeros((m, m))
+        M[:p, :p] = np.diag(theta[:p])
+        spike = beta_res * S[m - 1, :p]
+        M[:p, p] = spike
+        M[p, :p] = spike
+        for j in range(p, m):
+            M[j, j] = alpha_h[j]
+        for j in range(p, m - 1):
+            M[j, j + 1] = beta_h[j]
+            M[j + 1, j] = beta_h[j]
+        beta_res = beta_h[m - 1]
+
+    raise MaxIterationsError(
+        'eigensolver reached maximum number of restarts without converging. '
+        'Try increasing max_its, ncv, or loosening tol '
+        f'(current tol: {tol})')
+
+
+def ritz_vectors(S, V, dtype):
+    """Assemble Ritz vectors sum_k S[k, i] V[k] on device; returns a list of
+    (2, dim) arrays."""
+    m1 = V.shape[0]
+    out = []
+    for i in range(S.shape[1]):
+        c = np.zeros(m1)
+        c[:S.shape[0]] = S[:, i]
+        cr = jnp.asarray(c, dtype=dtype)
+        ci = jnp.zeros_like(cr)
+        out.append(krylov.combine(V, cr, ci))
+    return out
+
+
+def _tridiag(alpha, beta):
+    m = len(alpha)
+    M = np.diag(alpha)
+    for j in range(m - 1):
+        M[j, j + 1] = beta[j]
+        M[j + 1, j] = beta[j]
+    return M
+
+
+def _ordering(theta, which):
+    if which == 'lowest':
+        return np.argsort(theta)
+    if which == 'highest':
+        return np.argsort(-theta)
+    if which == 'exterior':
+        return np.argsort(-np.abs(theta))
+    raise ValueError(f"invalid value for 'which': {which}")

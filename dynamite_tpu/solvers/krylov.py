@@ -1,0 +1,164 @@
+"""
+Lanczos factorization — the shared core of both the eigensolver and the
+Krylov exponential.
+
+Builds V_{m+1}, alpha_{1..m}, beta_{1..m} with
+
+    A V_m = V_m T_m + beta_m v_{m+1} e_m^T
+
+for a Hermitian matrix-free ``matvec``, with full (two-pass classical
+Gram-Schmidt) reorthogonalization — the numerical strategy needed to match
+SLEPc's Krylov accuracy (reference north star: eigenvalues to 1e-10).
+
+Everything runs as one traced program: the Krylov basis V lives on device as
+a (m+1, 2, dim) stacked-real array (sharded over dim under GSPMD), inner
+products are matmuls against the basis (MXU-friendly), and the iteration is
+a lax.fori_loop — no host round-trips inside the factorization.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _basis_dots(V, w, upto_mask):
+    """Complex inner products <V_k | w> for all k, masked beyond the active
+    basis size. V: (m, 2, dim); w: (2, dim). Returns (re, im) of shape (m,)."""
+    re = V[:, 0, :] @ w[0] + V[:, 1, :] @ w[1]
+    im = V[:, 0, :] @ w[1] - V[:, 1, :] @ w[0]
+    return re * upto_mask, im * upto_mask
+
+
+def _basis_combine(V, cr, ci):
+    """sum_k (cr_k + i ci_k) V_k. Returns (2, dim)."""
+    wr = cr @ V[:, 0, :] - ci @ V[:, 1, :]
+    wi = cr @ V[:, 1, :] + ci @ V[:, 0, :]
+    return jnp.stack([wr, wi])
+
+
+def _orthogonalize(V, w, upto_mask):
+    """One pass of classical Gram-Schmidt of w against the masked basis.
+    Returns (w_orth, (re, im) coefficients)."""
+    re, im = _basis_dots(V, w, upto_mask)
+    w = w - _basis_combine(V, re, im)
+    return w, (re, im)
+
+
+def _norm(w):
+    return jnp.sqrt(jnp.sum(w * w))
+
+
+def lanczos(matvec, v0, m, v_prev_basis=None):
+    """Run m Lanczos steps from the normalized start vector v0.
+
+    Parameters
+    ----------
+    matvec : callable
+        (2, dim) -> (2, dim), the Hermitian operator apply (traceable).
+    v0 : (2, dim) array
+        Starting vector, assumed normalized.
+    m : int (static)
+        Number of steps.
+
+    Returns
+    -------
+    V : (m+1, 2, dim)  — orthonormal Krylov basis
+    alpha : (m,)       — tridiagonal diagonal
+    beta : (m,)        — tridiagonal off-diagonal; beta[m-1] is the residual
+                         norm (A V relation above)
+    """
+    dim = v0.shape[-1]
+    dtype = v0.dtype
+
+    V0 = jnp.zeros((m + 1, 2, dim), dtype).at[0].set(v0)
+    alpha0 = jnp.zeros(m, dtype)
+    beta0 = jnp.zeros(m, dtype)
+
+    ks = lax.broadcasted_iota(jnp.int32, (m + 1,), 0)
+
+    def step(j, carry):
+        V, alpha, beta = carry
+        vj = V[j]
+        w = matvec(vj)
+
+        # two-pass CGS against the full active basis {v_0..v_j}: the first
+        # pass extracts alpha_j (the <v_j|w> component is real for a
+        # Hermitian matvec), the second cleans up roundoff
+        mask = (ks <= j).astype(dtype)
+        w, (re1, _) = _orthogonalize(V, w, mask)
+        w, _ = _orthogonalize(V, w, mask)
+
+        a_j = re1[j]
+        b_j = _norm(w)
+        v_next = w / jnp.where(b_j > 0, b_j, 1)
+
+        V = V.at[j + 1].set(v_next)
+        alpha = alpha.at[j].set(a_j)
+        beta = beta.at[j].set(b_j)
+        return V, alpha, beta
+
+    V, alpha, beta = lax.fori_loop(0, m, step, (V0, alpha0, beta0))
+    return V, alpha, beta
+
+
+def lanczos_restarted(matvec, V_init, n_locked, m):
+    """Continue a Lanczos factorization after a thick restart.
+
+    V_init: (m+1, 2, dim) whose rows 0..n_locked hold the retained Ritz
+    vectors plus the residual direction at row n_locked. Runs steps
+    n_locked..m-1, orthogonalizing against everything retained.
+
+    Returns the same (V, alpha, beta) triple as :func:`lanczos`, with
+    alpha/beta only valid in [n_locked, m).
+    """
+    dim = V_init.shape[-1]
+    dtype = V_init.dtype
+    alpha0 = jnp.zeros(m, dtype)
+    beta0 = jnp.zeros(m, dtype)
+    ks = lax.broadcasted_iota(jnp.int32, (m + 1,), 0)
+
+    def step(j, carry):
+        V, alpha, beta = carry
+        vj = V[j]
+        w = matvec(vj)
+        mask = (ks <= j).astype(dtype)
+        w, (re1, _) = _orthogonalize(V, w, mask)
+        w, _ = _orthogonalize(V, w, mask)
+        a_j = re1[j]
+        b_j = _norm(w)
+        v_next = w / jnp.where(b_j > 0, b_j, 1)
+        V = V.at[j + 1].set(v_next)
+        alpha = alpha.at[j].set(a_j)
+        beta = beta.at[j].set(b_j)
+        return V, alpha, beta
+
+    return lax.fori_loop(n_locked, m, step, (V_init, alpha0, beta0))
+
+
+# module-level jitted helpers (shape-polymorphic via the jit cache)
+
+combine = jax.jit(_basis_combine)
+norm = jax.jit(_norm)
+
+
+@jax.jit
+def recombine_basis(V, C):
+    """New basis rows Y_p = sum_k C[p, k] V[k] (real coefficients, e.g. the
+    eigenvectors of the tridiagonal projection in a thick restart)."""
+    return jnp.einsum('pk,kri->pri', C, V)
+
+
+class KrylovOps:
+    """Compiled Krylov building blocks bound to one matvec and one subspace
+    dimension m. Cached on the OperatorKernel so repeated solves reuse the
+    same executables."""
+
+    def __init__(self, matvec, m):
+        self.m = m
+        self.matvec = matvec
+        self.lanczos = jax.jit(lambda v: lanczos(matvec, v, m))
+        self.lanczos_restarted = jax.jit(
+            lambda V, p: lanczos_restarted(matvec, V, p, m))
+        self.matvec_norm = jax.jit(lambda v: _norm(matvec(v)))

@@ -1,0 +1,424 @@
+"""
+Distributed state vectors.
+
+A State's data lives on the device mesh as a real array of shape (2, dim) —
+row 0 the real part, row 1 the imaginary part — sharded along the state axis.
+TPUs have no complex ALU (and this backend lacks complex-reduction lowering),
+so explicit re/im arithmetic *is* the TPU-native representation; see
+:mod:`dynamite_tpu.ops.cvec` for the arithmetic kernels.
+
+Reference semantics: src/dynamite/states.py (PETSc.Vec wrapper).
+"""
+
+import pickle
+from os import urandom
+
+import numpy as np
+import jax
+
+from . import config, subspaces
+from .utils import validate
+from .ops import cvec
+from .parallel import mesh as mesh_mod
+
+
+class UninitializedError(RuntimeError):
+    pass
+
+
+class State:
+    """
+    A quantum state vector.
+
+    Parameters
+    ----------
+    state : int or str, optional
+        Initial product state (integer bitstring or 'UDDU...'/'0110...'
+        string), or 'random' / 'uniform'.
+
+    subspace : Subspace, optional
+        The subspace the state lives on (default: config.subspace or Full).
+
+    L : int, optional
+        Spin chain length (defaults to config.L / the subspace's L).
+
+    seed : int, optional
+        RNG seed when ``state='random'``.
+    """
+
+    def __init__(self, state=None, subspace=None, L=None, seed=None):
+        if subspace is None:
+            subspace = config.subspace if config.subspace is not None \
+                else subspaces.Full()
+        self._subspace = validate.subspace(subspace)
+
+        if L is not None:
+            self.L = L
+
+        self._data = None
+        self._initialized = False
+        self.repr_binary = True
+
+        if state is not None:
+            if state == 'random':
+                self.set_random(seed=seed)
+            elif state == 'uniform':
+                self.set_uniform()
+            else:
+                self.set_product(state)
+
+    # -- basic properties ----------------------------------------------------
+
+    @property
+    def L(self):
+        return self.subspace.L
+
+    @L.setter
+    def L(self, value):
+        if self.L is not None and self.L != value:
+            raise ValueError('L is already set to a different value '
+                             '(possibly by subspace)')
+        self.subspace.L = value
+
+    @property
+    def subspace(self):
+        return self._subspace
+
+    def __len__(self):
+        return self.subspace.get_dimension()
+
+    @property
+    def initialized(self):
+        return self._initialized
+
+    def set_initialized(self):
+        self._initialized = True
+
+    def assert_initialized(self):
+        if not self.initialized:
+            raise UninitializedError('State vector data has not been set yet')
+
+    @property
+    def data(self):
+        """The (2, dim) re/im device array. Lazily allocated as zeros."""
+        if self._data is None:
+            if self.L is None:
+                raise ValueError('must set L first')
+            config._initialize()
+            dim = len(self)
+            self._data = jax.device_put(
+                np.zeros((2, dim), dtype=config.real_dtype),
+                mesh_mod.shard_spec(config.mesh, dim))
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = value
+
+    @property
+    def vec(self):
+        """Alias of :attr:`data` for rough API parity with the reference's
+        ``State.vec`` (there: a petsc4py Vec)."""
+        return self.data
+
+    # -- initialization -------------------------------------------------------
+
+    @classmethod
+    def str_to_state(cls, s, L):
+        """Convert 'UDU...'/'010...' (leftmost char = spin 0) or an integer
+        to the product-state integer."""
+        if isinstance(s, str):
+            if len(s) != L:
+                raise ValueError('state string must have length L')
+            if not all(c in 'UD01' for c in s):
+                raise ValueError('only characters U, D, 0, or 1 allowed in '
+                                 'state string')
+            state = 0
+            for i, c in enumerate(s):
+                if c in ('D', '1'):
+                    state |= 1 << i
+        else:
+            state = int(s)
+            if state >> L != 0:
+                raise ValueError(f'value (binary: {bin(state)[2:]}) does not '
+                                 'correspond to a valid state of length L')
+        return state
+
+    def set_product(self, s):
+        """Set to the product state ``s`` (integer or string; see
+        :meth:`str_to_state`)."""
+        if self.L is None and isinstance(s, str):
+            self.L = len(s)
+
+        idx = int(self.subspace.state_to_idx(self.str_to_state(s, self.L)))
+        if idx == -1:
+            raise ValueError('Provided initial state not in requested '
+                             'subspace.')
+
+        vec = np.zeros(len(self), dtype=np.complex128)
+        vec[idx] = 1
+        self.set_all_numpy(vec)
+
+        self.repr_binary = isinstance(s, str) and any(c in '01' for c in s)
+
+    def set_uniform(self):
+        """Uniform superposition over the subspace's basis states."""
+        dim = len(self)
+        vec = np.full(dim, 1 / np.sqrt(dim), dtype=np.complex128)
+        self.set_all_numpy(vec)
+
+    def set_random(self, seed=None, normalize=True):
+        """Normalized complex Gaussian random state."""
+        if seed is None:
+            seed = int.from_bytes(urandom(4), 'big', signed=False)
+        rng = np.random.RandomState(seed % 2**32)
+        dim = len(self)
+        vec = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
+        if normalize:
+            vec /= np.linalg.norm(vec)
+        self.set_all_numpy(vec)
+
+    def set_all_by_function(self, val_fn, vectorize=False):
+        """Set each element to ``val_fn(state_int)`` evaluated along the
+        subspace's basis."""
+        dim = len(self)
+        vec = np.empty(dim, dtype=np.complex128)
+        block = 65536
+        for start in range(0, dim, block):
+            stop = min(dim, start + block)
+            states = self.subspace.idx_to_state(np.arange(start, stop))
+            if vectorize:
+                vec[start:stop] = val_fn(states)
+            else:
+                for i, st in zip(range(start, stop), states):
+                    vec[i] = val_fn(int(st))
+        self.set_all_numpy(vec)
+
+    def set_all_numpy(self, vec):
+        """Set the full vector from a host complex array."""
+        vec = np.asarray(vec)
+        if vec.shape != (len(self),):
+            raise ValueError('array shape does not match subspace dimension')
+        config._initialize()
+        stacked = np.stack([vec.real, vec.imag]).astype(config.real_dtype)
+        dim = len(self)
+        self._data = jax.device_put(
+            stacked, mesh_mod.shard_spec(config.mesh, dim))
+        self.set_initialized()
+
+    # -- conversions -----------------------------------------------------------
+
+    def to_numpy(self, to_all=True):
+        """Return the state as a host complex128 numpy array.
+
+        ``to_all`` is accepted for reference API parity; under jax every host
+        process can fetch the full array.
+        """
+        self.assert_initialized()
+        arr = np.asarray(jax.device_get(self.data), dtype=np.float64)
+        return arr[0] + 1j * arr[1]
+
+    # -- measurement/projection -------------------------------------------------
+
+    def project(self, index, value):
+        """Projective measurement: zero all amplitudes where spin ``index``
+        is not ``value``, then renormalize. In place."""
+        self.assert_initialized()
+        if index < 0 or index >= self.L:
+            raise ValueError('spin index out of range')
+        if value not in (0, 1):
+            raise ValueError('value must be 0 or 1')
+
+        dim = len(self)
+        states = self.subspace.idx_to_state(np.arange(dim, dtype=np.int64))
+        keep = (((states >> index) & 1) == value).astype(config.real_dtype)
+        keep = jax.device_put(keep, mesh_mod.row_shard_spec(config.mesh, dim))
+        data = cvec.mask_rows(self.data, keep)
+        self.data = cvec.scale_real(data, 1.0 / float(cvec.norm(data)))
+
+    def entanglement_entropy(self, keep):
+        """Bipartite entanglement entropy, keeping the spins in ``keep``."""
+        from .computations import entanglement_entropy
+        return entanglement_entropy(self, keep)
+
+    # -- vector algebra ----------------------------------------------------------
+
+    def copy(self, result=None):
+        if result is None:
+            result = State(L=self.L, subspace=self.subspace.copy())
+        if self.subspace != result.subspace:
+            raise ValueError('subspace of state and result must match')
+        if self.initialized:
+            result.data = self.data  # jax arrays are immutable: safe to share
+            result.set_initialized()
+        elif result.initialized:
+            raise UninitializedError('Cannot copy from uninitialized state '
+                                     'to one that has been initialized')
+        return result
+
+    def dot(self, x):
+        """Inner product <self|x> (conjugate-linear in self)."""
+        self.assert_initialized()
+        x.assert_initialized()
+        re, im = cvec.vdot(self.data, x.data)
+        return complex(re) + 1j * complex(im)
+
+    def norm(self):
+        self.assert_initialized()
+        return float(cvec.norm(self.data))
+
+    def normalize(self):
+        self.assert_initialized()
+        self.data = cvec.scale_real(self.data, 1.0 / self.norm())
+
+    def scale(self, c):
+        self.assert_initialized()
+        c = complex(c)
+        if c.imag == 0:
+            self.data = cvec.scale_real(self.data, c.real)
+        else:
+            self.data = cvec.scale_complex(self.data, c.real, c.imag)
+
+    def axpy(self, alpha, x):
+        """self += alpha * x"""
+        self.scale_and_sum(alpha, 1, x)
+
+    def scale_and_sum(self, alpha, beta, x):
+        """self = alpha*x + beta*self (axpby)."""
+        self.assert_initialized()
+        x.assert_initialized()
+        if not self.subspace == x.subspace:
+            raise ValueError('subspaces do not match')
+        if self.data is x.data:
+            raise ValueError('x and y cannot be the same State object')
+        alpha, beta = complex(alpha), complex(beta)
+        self.data = cvec.axpby(alpha.real, alpha.imag, x.data,
+                               beta.real, beta.imag, self.data)
+
+    def __imul__(self, c):
+        self.scale(c)
+        return self
+
+    def __mul__(self, c):
+        rtn = self.copy()
+        rtn *= c
+        return rtn
+
+    def __rmul__(self, c):
+        return self * c
+
+    def __itruediv__(self, c):
+        self.scale(1 / c)
+        return self
+
+    def __iadd__(self, x):
+        if isinstance(x, State):
+            self.axpy(1.0, x)
+        else:
+            self.assert_initialized()
+            self.data = cvec.shift(self.data, complex(x).real,
+                                   complex(x).imag)
+        return self
+
+    def __add__(self, x):
+        rtn = self.copy()
+        rtn += x
+        return rtn
+
+    def __radd__(self, x):
+        return self + x
+
+    def __isub__(self, x):
+        if isinstance(x, State):
+            self.axpy(-1.0, x)
+        else:
+            self += -x
+        return self
+
+    def __sub__(self, x):
+        rtn = self.copy()
+        rtn -= x
+        return rtn
+
+    def __rsub__(self, x):
+        rtn = self.copy()
+        rtn *= -1
+        return rtn + x
+
+    # -- save / load --------------------------------------------------------------
+
+    def save(self, fname):
+        """Save as ``<fname>.vec`` (raw binary re/im float64 array) plus
+        ``<fname>.metadata`` (pickled subspace)."""
+        self.assert_initialized()
+        if jax.process_index() == 0:
+            with open(fname + '.metadata', 'wb') as f:
+                pickle.dump(self.subspace, f)
+            arr = np.asarray(jax.device_get(self.data), dtype=np.float64)
+            with open(fname + '.vec', 'wb') as f:
+                f.write(arr.tobytes())
+
+    @classmethod
+    def from_file(cls, fname):
+        """Load a state saved with :meth:`save`."""
+        with open(fname + '.metadata', 'rb') as f:
+            subspace = pickle.load(f)
+        with open(fname + '.vec', 'rb') as f:
+            arr = np.frombuffer(f.read(), dtype=np.float64)
+        dim = subspace.get_dimension()
+        if arr.size != 2 * dim:
+            raise RuntimeError('corrupt data encountered when loading state '
+                               'from file')
+        rtn = cls(subspace=subspace)
+        rtn.set_all_numpy(arr.reshape(2, dim)[0] + 1j * arr.reshape(2, dim)[1])
+        return rtn
+
+    # -- pretty printing ------------------------------------------------------------
+
+    def _idx_to_str(self, idx):
+        state = int(self.subspace.idx_to_state(int(idx)))
+        alphabet = '01' if self.repr_binary else 'UD'
+        return ''.join(alphabet[(state >> i) & 1] for i in range(self.L))
+
+    def _nonzero_elements(self):
+        vec = self.to_numpy()
+        nz = np.flatnonzero(vec)
+        if len(nz) > 10:
+            take = list(nz[:3]) + [None] + [nz[-1]]
+        else:
+            take = list(nz)
+        return [(i, vec[i] if i is not None else 0) for i in take]
+
+    @staticmethod
+    def _coeff_strs(nonzeros):
+        if all(v in (0, 1) for _, v in nonzeros):
+            return [''] * len(nonzeros)
+        if all(complex(v).imag == 0 for _, v in nonzeros):
+            fmt = lambda v: f'{v.real:0.3f}'
+        else:
+            fmt = lambda v: f'({v.real:0.3f}+{v.imag:0.3f}j)'
+        return ['' if v == 0 else fmt(complex(v)) for _, v in nonzeros]
+
+    def __str__(self):
+        if not self.initialized:
+            return repr(self)
+        nonzeros = self._nonzero_elements()
+        if not nonzeros:
+            return repr(self)
+        coeffs = self._coeff_strs(nonzeros)
+        parts = []
+        for (idx, v), c in zip(nonzeros, coeffs):
+            if idx is None:
+                parts.append('...')
+            else:
+                parts.append(c + '|' + self._idx_to_str(idx) + '>')
+        return ' + '.join(parts)
+
+    def __repr__(self):
+        if not self.initialized:
+            desc = 'with uninitialized contents'
+        elif not self._nonzero_elements():
+            desc = 'of norm zero'
+        else:
+            desc = str(self)
+        return f'<State {desc} on subspace {self.subspace!r}>'

@@ -1,0 +1,152 @@
+"""
+Integration tests: the device matvec kernel against the numpy oracle, over
+the model zoo x subspace matrix (modeled on the reference's
+tests/integration/test_multiply.py).
+
+These run on an 8-virtual-device CPU mesh (see tests/conftest.py), so
+power-of-two Full/Parity dimensions exercise the distributed
+(shard_map + ppermute) path.
+"""
+
+import numpy as np
+import pytest
+
+from dynamite_tpu import config
+from dynamite_tpu.states import State
+from dynamite_tpu.subspaces import (Full, Parity, SpinConserve, Explicit,
+                                    Auto, XParity)
+from dynamite_tpu import models
+
+L = 6
+
+MODELS = [
+    ('ising', models.ising, True),
+    ('long_range', models.long_range, False),
+    ('localized', models.localized, True),
+    ('syk', lambda L: models.syk(L // 2), False),  # syk uses 2L majoranas
+]
+
+
+@pytest.fixture(autouse=True)
+def reset_config():
+    config._L = None
+    config._subspace = None
+    yield
+    config._L = None
+    config._subspace = None
+
+
+def subspace_cases(H_name):
+    cases = [Full(L=L), Parity('even', L=L), Parity('odd', L=L)]
+    if H_name == 'localized':
+        cases.append(SpinConserve(L, L // 2))
+        cases.append(SpinConserve(L, 2))
+    return cases
+
+
+def check_dot(H, sub, seed=7, rtol=1e-10):
+    H = H.copy()
+    H.allow_projection = True
+    H.add_subspace(sub)
+    s = State(state='random', seed=seed, subspace=sub)
+    expected = H.to_numpy() @ s.to_numpy()
+    got = H.dot(s).to_numpy()
+    scale = max(np.max(np.abs(expected)), 1e-30)
+    assert np.max(np.abs(got - expected)) / scale < rtol
+
+
+@pytest.mark.parametrize('name,builder,real',
+                         MODELS, ids=[m[0] for m in MODELS])
+def test_models_subspaces(name, builder, real):
+    H = builder(L)
+    for sub in subspace_cases(name):
+        check_dot(H, sub)
+
+
+def test_explicit_shuffled():
+    H = models.heisenberg(L)
+    sc = SpinConserve(L, 3)
+    states = sc.idx_to_state(np.arange(sc.get_dimension()))
+    rng = np.random.RandomState(0)
+    rng.shuffle(states)
+    check_dot(H, Explicit(states, L=L))
+
+
+def test_auto():
+    H = models.heisenberg(L)
+    check_dot(H, Auto(H, 'U' * 3 + 'D' * 3))
+
+
+def test_xparity_full():
+    H = models.ising(L)
+    for sector in ('+', '-'):
+        check_dot(H, XParity(Full(L=L), sector=sector))
+
+
+def test_xparity_spinconserve():
+    H = models.heisenberg(L)
+    for sector in ('+', '-'):
+        check_dot(H, XParity(SpinConserve(L, L // 2), sector=sector))
+
+
+def test_projection_full_to_sub():
+    """Multiplying from Full into a subspace projects (reference semantics:
+    test_multiply.py:285-329)."""
+    H = models.heisenberg(L)
+    H.allow_projection = True
+    sc = SpinConserve(L, L // 2)
+    H.add_subspace(sc, Full(L=L))
+    x = State(state='random', seed=3, subspace=Full(L=L))
+    result = State(subspace=sc)
+    got = H.dot(x, result=result).to_numpy()
+    expected = H.to_numpy(subspaces=(sc, Full(L=L))) @ x.to_numpy()
+    assert np.allclose(got, expected)
+
+
+def test_sub_to_full_embedding():
+    H = models.heisenberg(L)
+    H.allow_projection = True
+    sc = SpinConserve(L, L // 2)
+    H.add_subspace(Full(L=L), sc)
+    x = State(state='random', seed=3, subspace=sc)
+    got = H.dot(x).to_numpy()
+    expected = H.to_numpy(subspaces=(Full(L=L), sc)) @ x.to_numpy()
+    assert np.allclose(got, expected)
+
+
+def test_sharded_path_used():
+    """On the 8-device test mesh, a power-of-two Full space state is sharded
+    and the distributed path must agree with the oracle."""
+    import jax
+    H = models.localized(L)
+    sub = Full(L=L)
+    H.add_subspace(sub)
+    s = State(state='random', seed=11, subspace=sub)
+    kernel = H.get_mat()
+    if jax.device_count() >= 2:
+        assert kernel.should_shard(s.data), \
+            'expected the sharded path on the multi-device test mesh'
+    check_dot(H, sub)
+
+
+def test_scan_path():
+    """Force the scan path and compare against the oracle."""
+    from dynamite_tpu.ops import apply as apply_mod
+    orig_g, orig_t = (apply_mod.UNROLL_GROUP_LIMIT,
+                      apply_mod.UNROLL_TERM_LIMIT)
+    apply_mod.UNROLL_GROUP_LIMIT = 1
+    apply_mod.UNROLL_TERM_LIMIT = 1
+    try:
+        H = models.localized(L)
+        check_dot(H, Full(L=L))
+        check_dot(H, SpinConserve(L, 2))
+    finally:
+        apply_mod.UNROLL_GROUP_LIMIT = orig_g
+        apply_mod.UNROLL_TERM_LIMIT = orig_t
+
+
+def test_expectation():
+    H = models.ising(L)
+    s = State(state='random', seed=5, subspace=Full(L=L))
+    expected = np.vdot(s.to_numpy(), H.to_numpy() @ s.to_numpy()).real
+    assert abs(H.expectation(s) - expected) < 1e-10
