@@ -143,24 +143,43 @@ def _accumulate(y, fr, fi, xp):
 
 
 def xor_flip(x, mask, nbits):
-    """x[..., k ^ mask] as a sequence of axis flips (no gather).
+    """x[..., k ^ mask] as axis flips (a strided copy, no gather).
 
     ``x`` has a trailing state axis of length 2**nbits; ``mask`` is a static
-    int. Bit b of the state corresponds (C-order) to reshaped axis
-    (nbits-1-b) of the state axis.
+    int. The state axis is reshaped so each set mask bit gets its own
+    length-2 axis while untouched bit runs stay merged — rank is
+    2*popcount(mask)+1, not nbits (full [2]*nbits reshapes blow up XLA
+    compile time at L >= 20).
     """
     if mask == 0:
         return x
     lead = x.shape[:-1]
-    x = x.reshape(lead + (2,) * nbits)
-    axes = tuple(len(lead) + (nbits - 1 - b)
-                 for b in range(nbits) if (mask >> b) & 1)
-    x = jnp.flip(x, axis=axes)
+    set_bits = [b for b in range(nbits) if (mask >> b) & 1]
+
+    shape = []
+    flip_axes = []
+    prev = nbits  # walk from the most significant bit down
+    for b in reversed(set_bits):
+        run = prev - (b + 1)
+        if run > 0:
+            shape.append(1 << run)
+        flip_axes.append(len(lead) + len(shape))
+        shape.append(2)
+        prev = b
+    if prev > 0:
+        shape.append(1 << prev)
+
+    x = x.reshape(lead + tuple(shape))
+    x = jnp.flip(x, axis=tuple(flip_axes))
     return x.reshape(lead + (1 << nbits,))
 
 
 def _iota(n, dtype):
-    return lax.broadcasted_iota(dtype, (n,), 0)
+    """Row-index iota, wrapped in an optimization barrier: without it XLA
+    constant-folds the entire (iota-derived) Walsh-sign computation at
+    compile time — dim x nterms integer ops on the compiler thread, which
+    hangs compilation for L >= 20."""
+    return lax.optimization_barrier(lax.broadcasted_iota(dtype, (n,), 0))
 
 
 class OperatorKernel:

@@ -249,6 +249,11 @@ class SpinConserve(_ProductStateSubspace):
         return int(self._nchoosek[self.k, self.L])
 
     def _state_to_idx(self, state):
+        if state.size >= 1024:
+            from . import _native
+            if _native.available():
+                return _native.spinconserve_s2i(state, self.L, self.k,
+                                                self._nchoosek)
         idx = np.zeros(state.shape, dtype=np.int64)
         kk = np.zeros(state.shape, dtype=np.int64)
         for n in range(self.L):
@@ -260,6 +265,11 @@ class SpinConserve(_ProductStateSubspace):
         return np.where(valid, idx, -1)
 
     def _idx_to_state(self, idx):
+        if idx.size >= 1024:
+            from . import _native
+            if _native.available():
+                return _native.spinconserve_i2s(idx, self.L, self.k,
+                                                self._nchoosek)
         idx = idx.copy()
         state = np.zeros(idx.shape, dtype=np.int64)
         k = np.full(idx.shape, self.k, dtype=np.int64)
@@ -384,10 +394,20 @@ def _bfs_sector(msc, seed):
     """BFS over the graph whose edges are the operator's masks, starting from
     ``seed``. An edge (state -> state^mask) exists when the mask group's
     total coefficient sum_t (-1)**parity(state & sign_t) * coeff_t is
-    nonzero. Returns states in discovery (queue) order."""
+    nonzero. Returns states in discovery (queue) order.
+
+    Uses the native C++ BFS (dynamite_tpu/_native) when available — BFS is
+    inherently sequential frontier expansion, the one host-side hot spot the
+    reference also keeps in C++ (bsubspace.pyx:212-261)."""
     masks, offsets = msc_mod.mask_groups(msc)
     signs = msc['signs']
     coeffs = msc['coeffs']
+
+    from . import _native
+    if _native.available():
+        out = _native.bfs_sector(masks, offsets, signs, coeffs, int(seed))
+        if out is not None:
+            return out
 
     seen = {int(seed)}
     order = [int(seed)]
