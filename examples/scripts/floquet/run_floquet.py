@@ -68,7 +68,7 @@ def load_checkpoint(path):
     fname = fnames[0]
     cycle = int(fname[len('floquet_cycle_'):-len('.vec')])
     state = State.from_file(join(path, fname[:-len('.vec')]))
-    return cycle + 1, state
+    return cycle, state  # cycle = last completed; the loop resumes at +1
 
 
 def main():
