@@ -51,17 +51,22 @@ def main():
     x /= np.linalg.norm(x)
     xd = jnp.asarray(x)
 
-    # warmup + compile
-    y = kernel.apply(xd)
-    y.block_until_ready()
+    # the timed region must end with a host fetch of a value that depends on
+    # every apply: on remote-execution backends, block_until_ready alone
+    # does not force the computation
+    checksum = jax.jit(lambda v: jnp.sum(v * v))
 
-    # steady-state: chain applications so we measure the kernel, not dispatch
-    start = time.perf_counter()
-    v = xd
-    for _ in range(reps):
-        v = kernel.apply(v)
-    v.block_until_ready()
-    elapsed = time.perf_counter() - start
+    def timed_round(n):
+        start = time.perf_counter()
+        v = xd
+        for _ in range(n):
+            v = kernel.apply(v)
+        chk = float(checksum(v))
+        return time.perf_counter() - start, chk
+
+    timed_round(1)      # warmup: compile apply + checksum
+    timed_round(2)      # flush any queued work
+    elapsed, _ = timed_round(reps)
 
     nnz_per_sec = total_nnz * reps / elapsed
 

@@ -77,14 +77,16 @@ class _Config:
             jax.config.update('jax_platforms', platform)
 
         if precision is None:
-            precision = 'double'
+            precision = self._precision or 'double'
         if precision not in ('single', 'double'):
             raise ValueError("precision must be 'single' or 'double'")
         self._precision = precision
 
-        # 64-bit types are needed both for the double-precision path and for
-        # int64 state indices when L > 31.
-        jax.config.update('jax_enable_x64', True)
+        # 64-bit device types are needed for the double-precision path and
+        # for int64 state indices when L > 31 — but x64 mode breaks the
+        # Pallas grid lowering on TPU, so single precision (the TPU
+        # production mode, L <= 31) leaves it off.
+        jax.config.update('jax_enable_x64', precision == 'double')
 
         from .parallel.mesh import make_mesh
         self._mesh = make_mesh(mesh_shape)

@@ -43,6 +43,10 @@ TERM_CHUNK = 8
 UNROLL_GROUP_LIMIT = 128
 # and with more total terms than this
 UNROLL_TERM_LIMIT = 512
+# states larger than this are processed in chunks of this size (an outer
+# lax.scan): XLA fuses the whole group sweep within a chunk-sized body but
+# falls off a fusion cliff on full-size buffers (measured 130x at L=24)
+CHUNK_BITS = 20
 
 
 def _is_xor_pair(left, right):
@@ -261,6 +265,8 @@ class OperatorKernel:
         plan = self.plan
         if plan.use_scan:
             return self._build_local_scan()
+        if plan.dim_left > (1 << CHUNK_BITS):
+            return self._build_local_chunked()
 
         def apply_fn(x):
             dtype = x.dtype
@@ -290,6 +296,73 @@ class OperatorKernel:
                 y = _accumulate(y, fr, fi, xp)
 
             return jnp.stack(y)
+
+        return apply_fn
+
+    def _build_local_chunked(self):
+        """Row-chunked sweep: an outer lax.scan over output chunks whose
+        body is the full (unrolled) group sweep on one chunk. XLA fuses the
+        whole sweep within the chunk-sized body; on full-size buffers it
+        falls off a fusion cliff (measured 130x slower at L=24)."""
+        plan = self.plan
+        C = 1 << CHUNK_BITS
+        n_chunks = -(-plan.dim_left // C)
+        padded = n_chunks * C
+        needs_pad = padded != plan.dim_left
+
+        def apply_fn(x):
+            dtype = x.dtype
+            idt = plan.int_dtype
+
+            def body(c, _):
+                base = (c * C).astype(idt)
+                rows = _iota(C, idt) + base
+                if needs_pad:
+                    in_range = rows < plan.dim_left
+                    rows = jnp.minimum(rows, plan.dim_left - 1)
+                row_states = plan.row_states(rows)
+                y = (jnp.zeros(C, dtype), jnp.zeros(C, dtype))
+
+                for m, perm_mask, signs, coeffs in plan.groups:
+                    bra = row_states ^ jnp.asarray(m, idt)
+                    fr, fi = plan.group_coefficient(bra, signs, coeffs,
+                                                    dtype)
+
+                    if plan.xor_mode:
+                        # source chunk for this output chunk, then the
+                        # in-chunk permutation
+                        m_chunk = perm_mask >> CHUNK_BITS
+                        src = lax.dynamic_slice(
+                            x, (0, (c ^ m_chunk) * C), (2, C))
+                        xp = xor_permute(src, perm_mask & (C - 1),
+                                         CHUNK_BITS)
+                    else:
+                        col, valid = plan.right_map.s2i(bra)
+                        col = jnp.where(valid, col, 0)
+                        xp = x[:, col]
+                        ok = valid.astype(dtype)
+                        if fr is not None:
+                            fr = fr * ok
+                        if fi is not None:
+                            fi = fi * ok
+
+                    if needs_pad:
+                        pad_ok = in_range.astype(dtype)
+                        if fr is not None:
+                            fr = fr * pad_ok
+                        if fi is not None:
+                            fi = fi * pad_ok
+
+                    y = _accumulate(y, fr, fi, xp)
+
+                return c + 1, jnp.stack(y)
+
+            _, ys = lax.scan(body, jnp.asarray(0, plan.int_dtype), None,
+                             length=n_chunks)
+            out = jnp.moveaxis(ys, 0, 1).reshape(2, padded)
+            if needs_pad:
+                out = out[:, :plan.dim_left]
+            return out
 
         return apply_fn
 

@@ -2,13 +2,19 @@
 Pallas TPU kernel for the XOR-fast-path Pauli matvec (Full/Parity subspace
 pairs).
 
-Why a hand kernel: the XLA formulation materializes one HBM pass per mask
-group once buffers exceed the fusion threshold (measured ~125 GB/s at
-L=24). This kernel tiles the output; each output block accumulates every
-mask group's contribution in VMEM and is written once, and each *distinct*
-block-level mask costs exactly one DMA of one source block — the TPU analog
-of the reference's cache-blocked fast matvec (MatMult_CPU_Fast,
-bpetsc_template_2.c:598-889), with its per-destination mask grouping.
+STATUS: experimental, not wired into the default dispatch. The row-chunked
+XLA path (apply.py::_build_local_chunked) currently wins: measured at L=24
+it runs at ~650 GB/s effective (near HBM speed of light) with ~2s compiles,
+while this kernel's MXU-matmul in-tile permutation both compiles slowly
+under Mosaic and runs slower. Kept as the foundation for a revision that
+replaces the permutation matmuls with lane shuffles/rolls.
+
+The design: tile the output; each output block accumulates every mask
+group's contribution in VMEM and is written once, and each *distinct*
+block-level mask costs exactly one (auto-pipelined) source-block fetch —
+the TPU analog of the reference's cache-blocked fast matvec
+(MatMult_CPU_Fast, bpetsc_template_2.c:598-889), with its per-destination
+mask grouping.
 
 Within a block (B = R x 128 elements):
 
@@ -164,20 +170,20 @@ def build_pallas_apply(plan, left, right, block_bits=DEFAULT_BLOCK_BITS,
     runs = p.runs
     n_blocks = p.n_blocks
 
-    def kernel(x_hbm, prow, pcol, ucr, uci, v, sblk,
-               y_ref, src, sem):
+    def kernel(*refs):
+        # refs: one x view per distinct block mask, then the constants,
+        # then y
+        x_refs = refs[:len(runs)]
+        prow, pcol, ucr, uci, v, sblk = refs[len(runs):len(runs) + 6]
+        y_ref = refs[len(runs) + 6]
+
         i = pl.program_id(0)
 
         acc_r = jnp.zeros((R, 128), jnp.float32)
         acc_i = jnp.zeros((R, 128), jnp.float32)
 
         for run_idx, (m_blk, g_start, g_end) in enumerate(runs):
-            j = i ^ m_blk
-            copy = pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(j * B, B)], src.at[run_idx % 2], sem)
-            copy.start()
-            copy.wait()
-            tile = src[run_idx % 2].reshape(2, R, 128)
+            tile = x_refs[run_idx][...].reshape(2, R, 128)
             xr, xi = tile[0], tile[1]
 
             for g in range(g_start, g_end):
@@ -191,9 +197,8 @@ def build_pallas_apply(plan, left, right, block_bits=DEFAULT_BLOCK_BITS,
 
                 # per-block scalar Walsh signs for each term
                 wb = (1 - 2 * (lax.population_count(
-                    (sblk[g] & jnp.int32(0x7fffffff)) &
-                    jnp.broadcast_to(jnp.int32(i), (T,))) & 1)
-                ).astype(jnp.float32)
+                    sblk[g] & jnp.broadcast_to(i, (T,)).astype(jnp.int32))
+                    & 1)).astype(jnp.float32)
 
                 fr = jnp.dot((ucr[g] * wb[:, None]).T, v[g],
                              preferred_element_type=jnp.float32)
@@ -208,27 +213,25 @@ def build_pallas_apply(plan, left, right, block_bits=DEFAULT_BLOCK_BITS,
         y_ref[0] = acc_r.reshape(B)
         y_ref[1] = acc_i.reshape(B)
 
+    def _block_spec(m_blk):
+        # the source block for output block i is i ^ m_blk — Mosaic
+        # pipelines these DMAs automatically
+        return pl.BlockSpec((2, B), lambda i, mb=m_blk: (0, i ^ mb),
+                            memory_space=pltpu.VMEM)
+
     def apply_fn(x):
+        in_specs = ([_block_spec(m_blk) for m_blk, _, _ in runs]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6)
+        args = tuple(x for _ in runs) + (
+            prow_c, pcol_c, ucr_c, uci_c, v_c, sblk_c)
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # prow
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # pcol
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # ucr
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # uci
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # v
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # sblk
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((2, B), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2, p.dim), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((2, 2, B), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
             interpret=interpret,
-        )(x, prow_c, pcol_c, ucr_c, uci_c, v_c, sblk_c)
+        )(*args)
 
     return apply_fn

@@ -24,6 +24,12 @@ def L(value):
     if value > MAX_L:
         raise ValueError(f'Spin chain lengths greater than {MAX_L} '
                          'not supported.')
+    if value > 31:
+        from .. import config
+        if config.precision == 'single':
+            raise ValueError('Spin chain lengths greater than 31 need '
+                             'int64 state indices; set config.precision = '
+                             "'double' (which enables 64-bit device types).")
     return value
 
 

@@ -145,6 +145,22 @@ def test_scan_path():
         apply_mod.UNROLL_TERM_LIMIT = orig_t
 
 
+def test_chunked_path():
+    """Force the row-chunked path and compare against the oracle, both for
+    the XOR fast mode and the gather mode with a non-divisible dimension."""
+    from dynamite_tpu.ops import apply as apply_mod
+    orig = apply_mod.CHUNK_BITS
+    apply_mod.CHUNK_BITS = 4
+    try:
+        H = models.localized(L)
+        check_dot(H, Full(L=L))
+        check_dot(H, Parity('odd', L=L))
+        check_dot(H, SpinConserve(L, 2))   # dim 15: pad + trim
+        check_dot(H, SpinConserve(L, 3))   # dim 20: pad + trim
+    finally:
+        apply_mod.CHUNK_BITS = orig
+
+
 def test_expectation():
     H = models.ising(L)
     s = State(state='random', seed=5, subspace=Full(L=L))
