@@ -11,6 +11,11 @@ the reference implementation on one CPU node (the reference is
 memory-bandwidth-bound, docs/FAQ.rst:33-47: ~200 GB/s node bandwidth /
 ~16 bytes per nonzero touched ≈ 1.25e10; rounded to 1e10 since the reference
 publishes no measured numbers — BASELINE.md).
+
+Protocol: `reps` applications are chained inside ONE jitted lax.fori_loop and
+the timed region ends with a host fetch of a checksum that depends on every
+application — so neither per-dispatch latency (large on remote-execution
+backends) nor async-dispatch undercounting pollutes the number.
 """
 
 import json
@@ -23,13 +28,14 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from dynamite_tpu import config
     from dynamite_tpu.models import localized
     from dynamite_tpu.subspaces import Full
 
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
     config.precision = 'single'
     config.L = L
@@ -41,6 +47,7 @@ def main():
     sub = Full(L=L)
     H.add_subspace(sub)
     kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
 
     dim = 1 << L
     nnz_per_row = H.nnz
@@ -51,22 +58,16 @@ def main():
     x /= np.linalg.norm(x)
     xd = jnp.asarray(x)
 
-    # the timed region must end with a host fetch of a value that depends on
-    # every apply: on remote-execution backends, block_until_ready alone
-    # does not force the computation
-    checksum = jax.jit(lambda v: jnp.sum(v * v))
+    @jax.jit
+    def loop(v):
+        v = lax.fori_loop(0, reps, lambda i, w: fn(w), v)
+        return jnp.sum(v * v)
 
-    def timed_round(n):
-        start = time.perf_counter()
-        v = xd
-        for _ in range(n):
-            v = kernel.apply(v)
-        chk = float(checksum(v))
-        return time.perf_counter() - start, chk
-
-    timed_round(1)      # warmup: compile apply + checksum
-    timed_round(2)      # flush any queued work
-    elapsed, _ = timed_round(reps)
+    float(loop(xd))          # compile + warmup
+    start = time.perf_counter()
+    chk = float(loop(xd))
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(chk)
 
     nnz_per_sec = total_nnz * reps / elapsed
 

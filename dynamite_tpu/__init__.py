@@ -33,6 +33,9 @@ class _Config:
         self._precision = None
         self._mesh = None
         self._requested_platform = None
+        # the hand-written Pallas TPU kernel for the hot matvec; auto-gated
+        # on backend=='tpu' and single precision, this flag force-disables it
+        self.use_pallas = True
 
     # -- one-shot initialization ------------------------------------------
 
