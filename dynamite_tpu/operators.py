@@ -514,8 +514,9 @@ class Operator:
         signs = msc['signs']
         coeffs = msc['coeffs']
 
-        left = subspaces[0]
+        left, right = subspaces
         base_left = left.parent if isinstance(left, XParity) else left
+        base_right = right.parent if isinstance(right, XParity) else right
         dim = left.get_dimension()
 
         best = 0.0
@@ -529,7 +530,12 @@ class Operator:
                 sl = slice(offsets[g], offsets[g + 1])
                 bra = kets ^ m
                 sgn = 1 - 2 * parity(bra[:, None] & signs[None, sl])
-                row_sum += np.abs(sgn @ coeffs[sl])
+                elem = np.abs(sgn @ coeffs[sl])
+                # entries whose column falls outside the right subspace are
+                # projected away (reference: the shell MatNorm only sums
+                # in-subspace columns, bpetsc_template_2.c:906-981)
+                valid = base_right.state_to_idx(bra) >= 0
+                row_sum += np.where(valid, elem, 0.0)
             best = max(best, float(row_sum.max(initial=0.0)))
         return best
 

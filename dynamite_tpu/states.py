@@ -272,6 +272,8 @@ class State:
         """Inner product <self|x> (conjugate-linear in self)."""
         self.assert_initialized()
         x.assert_initialized()
+        if not self.subspace == x.subspace:
+            raise ValueError('subspaces of the states do not match')
         re, im = cvec.vdot(self.data, x.data)
         return complex(re) + 1j * complex(im)
 

@@ -560,7 +560,7 @@ class XParity(Subspace):
         if state.subspace is self:
             # to parent: amplitude on representative c and on its complement
             out = State(subspace=self.parent)
-            vec = np.zeros(out.space_dimension(), dtype=np.complex128)
+            vec = np.zeros(self.parent.get_dimension(), dtype=np.complex128)
             amps = state.to_numpy()
             reps = self.idx_to_state(np.arange(n_in))
             comp_idx = self.parent.state_to_idx(flip ^ reps)
