@@ -267,6 +267,16 @@ class OperatorKernel:
     @property
     def sharded_supported(self):
         p = self.plan
+        nd = self.mesh.devices.size if self.mesh is not None else 1
+        if self._xor_sharded_eligible:
+            return True
+        # general path: any subspace pair whose dimensions split evenly
+        return p.dim_left % nd == 0 and p.dim_right % nd == 0
+
+    @property
+    def _xor_sharded_eligible(self):
+        """Whether the pairwise-ppermute fast path applies."""
+        p = self.plan
         if not p.xor_mode or p.dim_left != p.dim_right:
             return False
         nd = self.mesh.devices.size if self.mesh is not None else 1
@@ -450,6 +460,8 @@ class OperatorKernel:
     # -- distributed (shard_map + ppermute) path ----------------------------------
 
     def _build_sharded_callable(self):
+        if not self._xor_sharded_eligible:
+            return self._build_sharded_general()
         plan = self.plan
         mesh = self.mesh
         nd = mesh.devices.size
@@ -490,6 +502,83 @@ class OperatorKernel:
                                                     dtype)
                     y = _accumulate(y, fr, fi, xp)
 
+            return jnp.stack(y)
+
+        return jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=P(None, axis), out_specs=P(None, axis))
+
+    def _build_sharded_general(self):
+        """Distributed matvec for arbitrary subspace pairs (SpinConserve,
+        Explicit, Auto, projections): the sharded input is all-gathered over
+        ICI, then each device sweeps only its owned output rows.
+
+        This is the analog of the reference's multi-GPU path
+        (VecScatterCreateToAll + grid-stride row kernel,
+        bcuda_template_2.cu:141-273); the XOR fast path above replaces the
+        gather with pairwise ppermutes when the subspace structure allows.
+        Compute and output bandwidth scale with devices; input memory is
+        O(dim_right) per device during the sweep.
+        """
+        plan = self.plan
+        mesh = self.mesh
+        nd = mesh.devices.size
+        axis = mesh.axis_names[0]
+        local_left = plan.dim_left // nd
+
+        if plan.use_scan:
+            chunked = _chunked_arrays(plan.groups)
+        else:
+            chunked = None
+
+        def local_fn(x_local):
+            dtype = x_local.dtype
+            idt = plan.int_dtype
+            me = lax.axis_index(axis).astype(idt)
+            rows = _iota(local_left, idt) + me * jnp.asarray(local_left, idt)
+            row_states = plan.row_states(rows)
+            x = lax.all_gather(x_local, axis, axis=1, tiled=True)
+
+            if chunked is not None:
+                masks_c, signs_c, cr_c, ci_c = chunked
+                masks_d = jnp.asarray(masks_c, idt)
+                signs_d = jnp.asarray(signs_c, idt)
+                cr_d = jnp.asarray(cr_c, dtype)
+                ci_d = jnp.asarray(ci_c, dtype)
+                y0 = jnp.zeros((2, local_left), dtype)
+
+                def step(y, args):
+                    m, signs, cr, ci = args
+                    bra = row_states ^ m
+                    w = (1 - 2 * parity_j(bra[:, None] & signs[None, :])
+                         ).astype(dtype)
+                    fr = w @ cr
+                    fi = w @ ci
+                    col, valid = plan.right_map.s2i(bra)
+                    col = jnp.where(valid, col, 0)
+                    xp = x[:, col]
+                    ok = valid.astype(dtype)
+                    fr = fr * ok
+                    fi = fi * ok
+                    yr = y[0] + fr * xp[0] - fi * xp[1]
+                    yi = y[1] + fr * xp[1] + fi * xp[0]
+                    return jnp.stack([yr, yi]), None
+
+                y, _ = lax.scan(step, y0, (masks_d, signs_d, cr_d, ci_d))
+                return y
+
+            y = (jnp.zeros(local_left, dtype), jnp.zeros(local_left, dtype))
+            for m, _perm, signs, coeffs in plan.groups:
+                bra = row_states ^ jnp.asarray(m, idt)
+                fr, fi = plan.group_coefficient(bra, signs, coeffs, dtype)
+                col, valid = plan.right_map.s2i(bra)
+                col = jnp.where(valid, col, 0)
+                xp = x[:, col]
+                ok = valid.astype(dtype)
+                if fr is not None:
+                    fr = fr * ok
+                if fi is not None:
+                    fi = fi * ok
+                y = _accumulate(y, fr, fi, xp)
             return jnp.stack(y)
 
         return jax.shard_map(local_fn, mesh=mesh,
