@@ -36,6 +36,9 @@ class _Config:
         # the hand-written Pallas TPU kernel for the hot matvec; auto-gated
         # on backend=='tpu' and single precision, this flag force-disables it
         self.use_pallas = True
+        # raise (instead of warn + fall back to the XLA engine) if a Pallas
+        # kernel build fails where it should have succeeded
+        self.require_pallas = False
 
     # -- one-shot initialization ------------------------------------------
 

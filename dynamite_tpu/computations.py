@@ -16,6 +16,15 @@ from .solvers.eigs import eigsolve_trlanczos, ritz_vectors
 DEFAULT_NCV_EVOLVE = 30
 
 
+def _state_sharding(dim, sharded):
+    """The canonical mesh sharding for solver-internal state vectors (or
+    None when running replicated)."""
+    if not sharded:
+        return None
+    from .parallel import mesh as mesh_mod
+    return mesh_mod.shard_spec(config.mesh, dim)
+
+
 def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
            max_its=None):
     r"""Evolve a state under the Schrodinger equation:
@@ -55,8 +64,11 @@ def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
     sharded = kernel.should_shard(state.data)
     kops = kernel.krylov_ops(min(ncv, len(state)), sharded=sharded)
 
-    # cheap operator-norm upper bound sum_t |c_t| for the stepping heuristic
-    anorm = float(np.sum(np.abs(H.msc['coeffs'])))
+    # the matrix infinity norm (computed on device, cached on the operator)
+    # for the Expokit stepping heuristic — a much tighter bound than
+    # sum_t |c_t|, which overestimates ||H|| by up to the term count and
+    # shrinks the initial substeps accordingly
+    anorm = H.infinity_norm(subspaces=(state.subspace, state.subspace))
 
     scale = -1j * t
 
@@ -67,12 +79,20 @@ def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
 
 
 def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
-             subspace=None, max_its=None, ncv=None):
+             subspace=None, max_its=None, ncv=None, target_method=None,
+             inner_its=None, inner_tol=None):
     r"""Solve for a subset of the Hamiltonian's eigenpairs.
 
     Parameters mirror the reference (computations.py:128-292). ``which`` is
     one of 'lowest', 'highest', 'exterior', or 'target' (with ``target``
     set).
+
+    For interior eigenvalues (``target=``), ``target_method`` selects the
+    matrix-free shift-invert strategy: 'shift_invert' (default — Lanczos on
+    (H-target)^{-1} applied by an inner MINRES solve; converges in O(10)
+    outer iterations like the reference's MUMPS-based ST.SINVERT) or 'fold'
+    (Lanczos on (H-target)^2 — no inner solve but squares the condition
+    number). ``inner_its``/``inner_tol`` bound the MINRES inner solve.
     """
     H.establish_L()
 
@@ -101,18 +121,21 @@ def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
 
     if which == 'target':
         return _eigsolve_target(H, kernel, dim, nev, target, tol, getvecs,
-                                max_its, ncv, subspace)
+                                max_its, ncv, subspace,
+                                method=target_method, inner_its=inner_its,
+                                inner_tol=inner_tol)
 
     if ncv is None:
         ncv = min(dim - 1 if dim > 2 else dim, max(2 * nev + 10, 20))
     ncv = min(ncv, dim)
 
     dtype = config.real_dtype
-    kops = kernel.krylov_ops(ncv, sharded=False)
+    sharded = kernel.sharded_default()
+    kops = kernel.krylov_ops(ncv, sharded=sharded)
 
     evals, S, V = eigsolve_trlanczos(
         kops, dim, dtype, nev=nev, which=which, tol=tol,
-        max_restarts=max_its)
+        max_restarts=max_its, sharding=_state_sharding(dim, sharded))
 
     if not getvecs:
         return np.asarray(evals, dtype=float)
@@ -128,20 +151,89 @@ def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
 
 
 def _eigsolve_target(H, kernel, dim, nev, target, tol, getvecs, max_its,
-                     ncv, subspace):
+                     ncv, subspace, method=None, inner_its=None,
+                     inner_tol=None):
     """Interior eigenvalues near ``target``.
 
     The reference does this with SLEPc shift-invert + a MUMPS direct solve,
     which it refuses for matrix-free (shell) operators
-    (computations.py:211-220). Here every operator is matrix-free, so we
-    use the polynomial spectral-fold approach: the lowest eigenvalues of
-    (H - target)^2 are the ones closest to the target. Convergence is
-    slower than a direct shift-invert but requires only matvecs — the
-    TPU-idiomatic tradeoff.
+    (computations.py:211-220). Here every operator is matrix-free, so the
+    inverse is applied iteratively (method='shift_invert': outer Lanczos on
+    (H-target)^{-1}, each apply an inner MINRES solve fused into the same
+    device program), or avoided entirely (method='fold': Lanczos on
+    (H-target)^2, whose lowest eigenvalues are the ones closest to the
+    target — robust but squares the condition number, so it needs far more
+    iterations on dense mid-spectrum problems).
+
+    Both methods produce a candidate subspace; the eigenpairs are extracted
+    by a Rayleigh-Ritz step on H itself, so the returned eigenvalues are
+    accurate even when the inner solves are loose.
     """
-    # build (H - target)^2 symbolically: same MSC machinery, squared terms
+    if method is None:
+        method = 'shift_invert'
+
+    nev_f = min(dim, nev + 4)
+    if ncv is None:
+        if method == 'fold':
+            ncv = min(dim - 1 if dim > 2 else dim, max(2 * nev_f + 25, 40))
+        else:
+            ncv = min(dim - 1 if dim > 2 else dim, max(2 * nev_f + 10, 20))
+    ncv = min(ncv, dim)
+    dtype = config.real_dtype
+
+    if method == 'shift_invert':
+        states = _target_candidates_shift_invert(
+            H, kernel, dim, nev_f, target, tol, max_its, ncv, subspace,
+            dtype, inner_its, inner_tol)
+    elif method == 'fold':
+        states = _target_candidates_fold(
+            H, dim, nev_f, target, tol, max_its, ncv, subspace, dtype)
+    else:
+        raise ValueError("target_method must be 'shift_invert' or 'fold' "
+                         f"(got {method!r})")
+
+    return _rayleigh_ritz_extract(H, states, target, nev, getvecs)
+
+
+def _target_candidates_shift_invert(H, kernel, dim, nev_f, target, tol,
+                                    max_its, ncv, subspace, dtype,
+                                    inner_its, inner_tol):
+    """Candidate subspace from Lanczos on (H - target)^{-1}: the largest-
+    magnitude eigenvalues of the inverse are the ones closest to the
+    target, so O(10) outer iterations suffice (the behavior of the
+    reference's direct-solve shift-invert), at the price of an inner
+    MINRES solve per outer matvec."""
+    from .solvers.minres import minres_solver
+    from .solvers.krylov import KrylovOps
+
+    if inner_its is None:
+        inner_its = min(2 * dim, 500)
+    if inner_tol is None:
+        inner_tol = 1e-10 if np.dtype(dtype) == np.float64 else 1e-5
+    # the outer residual tolerance lives on the (H-target)^{-1} eigenvalue
+    # scale; the final accuracy comes from the Rayleigh-Ritz step on H
+    outer_tol = tol if tol is not None else \
+        (1e-8 if np.dtype(dtype) == np.float64 else 1e-5)
+
+    sharded = kernel.sharded_default()
+    inverse_apply = minres_solver(kernel.traceable(sharded),
+                                  shift=float(target),
+                                  maxiter=inner_its, rtol=inner_tol)
+    kops = KrylovOps(inverse_apply, ncv)
+
+    _theta, S, V = eigsolve_trlanczos(
+        kops, dim, dtype, nev=nev_f, which='exterior', tol=outer_tol,
+        max_restarts=max_its, sharding=_state_sharding(dim, sharded))
+    return _ritz_states(H, subspace, S, V, dtype)
+
+
+def _target_candidates_fold(H, dim, nev_f, target, tol, max_its, ncv,
+                            subspace, dtype):
+    """Candidate subspace from Lanczos on the folded operator
+    (H - target)^2, built symbolically with the MSC algebra."""
     from .ops import msc as msc_tools
     from .operators import Operator
+
     H.reduce_msc()
     shifted = msc_tools.msc_sum(
         [H.msc, msc_tools.msc_from_arrays([0], [0], [-target])])
@@ -157,33 +249,32 @@ def _eigsolve_target(H, kernel, dim, nev, target, tol, getvecs, max_its,
     folded._subspaces = [(l, r) for (l, r) in H.get_subspace_list()]
     folded.allow_projection = H.allow_projection
 
-    # folding squares the spectrum near the target, making nearby pairs of
-    # folded eigenvalues (nearly) degenerate; solve for a few extra vectors
-    # and un-mix them with a Rayleigh-Ritz step on H below
-    nev_f = min(dim, nev + 4)
-
-    if ncv is None:
-        ncv = min(dim - 1 if dim > 2 else dim, max(2 * nev_f + 25, 40))
-    ncv = min(ncv, dim)
-
-    dtype = config.real_dtype
     fkernel = folded.get_mat(subspaces=(subspace, subspace))
-    kops = fkernel.krylov_ops(ncv, sharded=False)
+    sharded = fkernel.sharded_default()
+    kops = fkernel.krylov_ops(ncv, sharded=sharded)
 
-    evals_sq, S, V = eigsolve_trlanczos(
+    _evals_sq, S, V = eigsolve_trlanczos(
         kops, dim, dtype, nev=nev_f, which='lowest', tol=tol,
-        max_restarts=max_its)
+        max_restarts=max_its, sharding=_state_sharding(dim, sharded))
+    return _ritz_states(H, subspace, S, V, dtype)
 
-    # Rayleigh-Ritz of H within the span of the converged folded vectors
+
+def _ritz_states(H, subspace, S, V, dtype):
     from .states import State
-    import scipy.linalg
-    vecs = ritz_vectors(S, V, dtype)
     states = []
-    for vec in vecs:
+    for vec in ritz_vectors(S, V, dtype):
         v = State(L=H.L, subspace=subspace)
         v.data = vec
         v.set_initialized()
         states.append(v)
+    return states
+
+
+def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
+    """Rayleigh-Ritz of H within the span of the candidate states; returns
+    the nev eigenvalues closest to the target (+ vectors if requested)."""
+    import scipy.linalg
+
     hstates = [H.dot(v) for v in states]
     n = len(states)
     A = np.zeros((n, n), dtype=complex)

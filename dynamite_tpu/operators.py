@@ -34,6 +34,7 @@ class Operator:
     def __init__(self, msc=None, string_rep=None):
         self._max_spin_idx = None
         self._kernels = {}
+        self._norm_cache = {}
         self._is_reduced = False
         self._shell = config.shell
         self._precompute_diagonal = True
@@ -254,8 +255,26 @@ class Operator:
 
     def conserves(self, left, right=None):
         """Whether the image of the right subspace under the operator lies
-        inside the left subspace (reference analog:
-        bpetsc_template_2.c:990-1056, computed host-side here)."""
+        inside the left subspace — a device reduction over the same term
+        sweep as the matvec (reference analog: the distributed shell
+        CheckConserves, bpetsc_template_2.c:990-1056)."""
+        msc, base_left, base_right, early = self._conserves_prep(left, right)
+        if early is not None:
+            return early
+
+        from .ops.reductions import build_check_conserves
+        config._initialize()
+        check = build_check_conserves(msc, base_left, base_right,
+                                      config.real_dtype,
+                                      self._plan_int_dtype())
+        return bool(check())
+
+    def _plan_int_dtype(self):
+        return np.int32 if self.L <= 31 else np.int64
+
+    def _conserves_prep(self, left, right):
+        """Shared setup for the device and host conservation checks.
+        Returns (msc, base_left, base_right, early_result)."""
         self.establish_L()
 
         if right is None:
@@ -273,7 +292,7 @@ class Operator:
         if not left.product_state_basis:
             msc, conserved = left.reduce_msc(self.msc, check_conserves=True)
             if not conserved:
-                return False
+                return None, None, None, False
         else:
             msc = self.msc
 
@@ -282,7 +301,16 @@ class Operator:
 
         # Full left always contains every image state
         if isinstance(base_left, Full):
-            return True
+            return msc, base_left, base_right, True
+
+        return msc, base_left, base_right, None
+
+    def _conserves_host(self, left, right=None):
+        """Host numpy version of :meth:`conserves` — the small-dimension
+        oracle for the device reduction."""
+        msc, base_left, base_right, early = self._conserves_prep(left, right)
+        if early is not None:
+            return early
 
         masks, offsets = msc_tools.mask_groups(msc)
         signs = msc['signs']
@@ -348,6 +376,9 @@ class Operator:
         if jax.process_index() == 0:
             with open(filename, 'wb') as f:
                 f.write(self.serialize())
+        # other processes must not read the file before it is written
+        from .parallel import multihost
+        multihost.barrier('operator_save')
 
     @classmethod
     def load(cls, filename):
@@ -497,9 +528,37 @@ class Operator:
     def infinity_norm(self, subspaces=None):
         """The matrix infinity norm max_row sum_col |A[row, col]|.
 
-        Computed matrix-free: one pass over rows evaluating
-        sum_m |f_m(bra)| (each mask contributes one element per row).
+        Computed matrix-free on device: one fused pass over rows evaluating
+        sum_m |f_m(bra)| (each mask contributes one element per row),
+        reduced with max — the same term sweep as the matvec kernel
+        (reference analog: the distributed shell MatNorm,
+        bpetsc_template_2.c:906-981). The result is cached per subspace
+        pair, like the reference caches it in the shell context.
         """
+        if subspaces is None:
+            subspaces = (self.left_subspace, self.right_subspace)
+        if subspaces in self._norm_cache:
+            return self._norm_cache[subspaces]
+        self.establish_L()
+        self.reduce_msc()
+
+        if not subspaces[0].product_state_basis:
+            msc = subspaces[0].reduce_msc(self.msc)
+        else:
+            msc = self.msc
+
+        from .ops.reductions import build_infinity_norm
+        config._initialize()
+        norm_fn = build_infinity_norm(msc, subspaces[0], subspaces[1],
+                                      config.real_dtype,
+                                      self._plan_int_dtype())
+        result = float(norm_fn())
+        self._norm_cache[subspaces] = result
+        return result
+
+    def _infinity_norm_host(self, subspaces=None):
+        """Host numpy version of :meth:`infinity_norm` — the
+        small-dimension oracle for the device reduction."""
         if subspaces is None:
             subspaces = (self.left_subspace, self.right_subspace)
         self.establish_L()
@@ -551,6 +610,7 @@ class Operator:
         value = validate.msc(value)
         self._max_spin_idx = None
         self.is_reduced = False
+        self._norm_cache.clear()
         self._msc = value
 
     def reduce_msc(self):
@@ -713,6 +773,9 @@ class Operator:
             self.msc['coeffs'] *= x
         except (ValueError, TypeError):
             raise TypeError(f'Cannot scale operator by type {type(x)}')
+        # compiled kernels and cached norms bake in the coefficients
+        self.destroy_mat()
+        self._norm_cache.clear()
         coeff_str = msc_tools.format_coeff(x, parens=True)
         sw = self._string_rep.with_brackets
         self._string_rep.string = f'{coeff_str}*{sw("string")}'

@@ -246,6 +246,13 @@ class OperatorKernel:
     def should_shard(self, x):
         return self._use_sharded(x)
 
+    def sharded_default(self):
+        """Whether solvers that create their own work vectors (eigsolve
+        generates its start vector internally) should run distributed."""
+        if self.mesh is None or self.mesh.devices.size == 1:
+            return False
+        return self.sharded_supported
+
     def krylov_ops(self, m, sharded=False):
         """Cached compiled Krylov building blocks for subspace size m."""
         key = (m, sharded)
@@ -345,7 +352,17 @@ class OperatorKernel:
                 self.plan, self.left, self.right,
                 block_bits=min(PALLAS_BLOCK_BITS,
                                self.plan.dim_right.bit_length() - 1))
-        except Exception:
+        except Exception as e:
+            # a failed kernel build must not silently demote production to
+            # the (slower) XLA engine: surface it, and raise when the user
+            # demands the fast path
+            if getattr(config, 'require_pallas', False):
+                raise
+            import warnings
+            warnings.warn('Pallas kernel build failed; falling back to the '
+                          f'XLA apply engine (set config.require_pallas to '
+                          f'raise instead): {e!r}', RuntimeWarning,
+                          stacklevel=2)
             return None
 
     def _build_local_chunked(self):

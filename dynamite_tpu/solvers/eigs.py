@@ -8,15 +8,35 @@ program (see solvers.krylov). The projected problem (a small real symmetric
 arrowhead+tridiagonal matrix) is solved on the host with numpy.
 """
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import krylov
 from .expmv import ConvergenceError, MaxIterationsError
 
 
+def random_start(dim, dtype, seed=0, sharding=None):
+    """Normalized random start vector, generated directly on the device mesh
+    (no host round-trip: at L=30 the host path would move 2*2^30 floats).
+    The values are a deterministic function of ``seed`` regardless of the
+    device count or sharding."""
+    kwargs = {}
+    if sharding is not None:
+        kwargs['out_shardings'] = sharding
+
+    @partial(jax.jit, static_argnums=(1, 2), **kwargs)
+    def gen(key, n, dt):
+        w = jax.random.normal(key, (2, n), dtype=dt)
+        return w / jnp.sqrt(jnp.sum(w * w))
+
+    return gen(jax.random.PRNGKey(seed), dim, jnp.dtype(dtype))
+
+
 def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
-                       max_restarts=None, seed=0, v0=None):
+                       max_restarts=None, seed=0, v0=None, sharding=None):
     """Solve for ``nev`` eigenvalues of the Hermitian operator.
 
     Parameters
@@ -49,10 +69,7 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
         max_restarts = 1000
 
     if v0 is None:
-        rng = np.random.RandomState(seed)
-        host = rng.standard_normal((2, dim))
-        host /= np.linalg.norm(host)
-        v0 = jnp.asarray(host, dtype=dtype)
+        v0 = random_start(dim, dtype, seed=seed, sharding=sharding)
 
     # number of Ritz pairs retained through a restart
     p = min(m - 1, max(nev + 5, (m + nev) // 2))

@@ -172,10 +172,16 @@ class State:
         """Normalized complex Gaussian random state.
 
         Generated directly on the device mesh (sharded, no host round-trip),
-        deterministically from ``seed`` regardless of device count.
+        deterministically from ``seed`` regardless of device count. When no
+        seed is given, one is drawn on process 0 and broadcast so that every
+        host agrees on the state (same semantics as the reference's
+        time-seed broadcast, states.py:253-270).
         """
         if seed is None:
-            seed = int.from_bytes(urandom(4), 'big', signed=False)
+            from .parallel import multihost
+            seed = int(multihost.broadcast_from_host0(np.asarray(
+                [int.from_bytes(urandom(4), 'big', signed=False)],
+                dtype=np.int64))[0])
         config._initialize()
         dim = len(self)
         sharding = mesh_mod.shard_spec(config.mesh, dim)
@@ -224,10 +230,15 @@ class State:
         """Return the state as a host complex128 numpy array.
 
         ``to_all`` is accepted for reference API parity; under jax every host
-        process can fetch the full array.
+        process can fetch the full array (multi-host sharded arrays are
+        gathered over DCN first).
         """
         self.assert_initialized()
-        arr = np.asarray(jax.device_get(self.data), dtype=np.float64)
+        data = self.data
+        if not getattr(data, 'is_fully_addressable', True):
+            from jax.experimental import multihost_utils
+            data = multihost_utils.process_allgather(data, tiled=True)
+        arr = np.asarray(jax.device_get(data), dtype=np.float64)
         return arr[0] + 1j * arr[1]
 
     # -- measurement/projection -------------------------------------------------
@@ -365,12 +376,16 @@ class State:
         """Save as ``<fname>.vec`` (raw binary re/im float64 array) plus
         ``<fname>.metadata`` (pickled subspace)."""
         self.assert_initialized()
+        vec = self.to_numpy()  # gathers across hosts if needed
         if jax.process_index() == 0:
             with open(fname + '.metadata', 'wb') as f:
                 pickle.dump(self.subspace, f)
-            arr = np.asarray(jax.device_get(self.data), dtype=np.float64)
+            arr = np.stack([vec.real, vec.imag])
             with open(fname + '.vec', 'wb') as f:
                 f.write(arr.tobytes())
+        # other processes must not read the file before it is written
+        from .parallel import multihost
+        multihost.barrier('state_save')
 
     @classmethod
     def from_file(cls, fname):

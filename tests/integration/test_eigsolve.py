@@ -72,15 +72,19 @@ def test_eigenvector_residuals():
         assert residual.norm() < 1e-7
 
 
-def test_target():
+@pytest.mark.parametrize('method', ['shift_invert', 'fold'])
+def test_target(method):
     H = models.localized(L)
     sub = Full(L=L)
     H.add_subspace(sub)
     dense = np.linalg.eigvalsh(H.to_numpy().toarray())
-    target = float((dense[len(dense) // 2] + dense[len(dense) // 2 + 1]) / 2)
-    evals = H.eigsolve(nev=1, target=target)
-    closest = dense[np.argmin(np.abs(dense - target))]
-    assert abs(evals[0] - closest) < 1e-7
+    mid = len(dense) // 2
+    # deliberately off the midpoint: the midpoint makes the two neighbors
+    # exactly equidistant, so "closest" would be ambiguous
+    target = float(0.7 * dense[mid] + 0.3 * dense[mid + 1])
+    evals = H.eigsolve(nev=2, target=target, target_method=method)
+    expected = dense[np.argsort(np.abs(dense - target))[:2]]
+    assert np.max(np.abs(np.sort(evals[:2]) - np.sort(expected))) < 1e-7
 
 
 def test_target_requires_value():

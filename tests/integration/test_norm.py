@@ -61,3 +61,34 @@ def test_spinconserve():
     H.add_subspace(sub)
     got = H.infinity_norm(subspaces=(sub, sub))
     assert np.isclose(got, oracle_inf_norm(H, sub), rtol=1e-6)
+
+
+@pytest.mark.parametrize('name,builder', MODELS, ids=[m[0] for m in MODELS])
+def test_device_matches_host(name, builder):
+    """The device reduction against the host numpy sweep directly."""
+    H = builder(L)
+    sub = Full(L=L)
+    H.add_subspace(sub)
+    assert np.isclose(H.infinity_norm(), H._infinity_norm_host(), rtol=1e-9)
+
+
+def test_device_conserves_matches_host():
+    from dynamite_tpu.operators import sigmax, index_sum
+
+    H = models.heisenberg(L)
+    sub = SpinConserve(L, L // 2)
+    H.add_subspace(sub)
+    assert H.conserves(sub) is H._conserves_host(sub) is True
+
+    flip = index_sum(sigmax(), size=L)
+    flip.add_subspace(sub)
+    assert flip.conserves(sub) is flip._conserves_host(sub) is False
+
+
+def test_norm_cache_invalidation():
+    H = models.ising(L)
+    sub = Full(L=L)
+    H.add_subspace(sub)
+    n1 = H.infinity_norm()
+    H.scale(2.0)
+    assert np.isclose(H.infinity_norm(), 2 * n1, rtol=1e-9)
