@@ -328,12 +328,12 @@ def reduced_density_matrix(state, keep):
     if np.any(keep < 0):
         raise ValueError(f'spin index less than zero. keep: {keep}')
     L = state.L
-    if np.any(keep > L):
+    if np.any(keep >= L):
         raise ValueError('spin index greater than spin chain length minus '
                          f'one. keep: {keep}')
 
-    from .ops.rdm import rdm_host
-    return rdm_host(state, keep)
+    from .ops.rdm import rdm_device
+    return rdm_device(state, keep)
 
 
 def entanglement_entropy(state, keep):

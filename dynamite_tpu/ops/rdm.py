@@ -3,15 +3,107 @@ Reduced density matrices.
 
 The state, viewed as a [2]*L tensor over the spins, is transposed so the
 kept spins lead, reshaped to (2^k, 2^(L-k)), and contracted
-rho = V V^dagger. For subspace states the amplitudes are first scattered
-into the full space through the subspace's index map.
+rho = V V^dagger — one MXU matmul on the device mesh, instead of the
+reference's gather-to-rank-0 outer-product loop
+(bpetsc_template_1.c:87-165, a scalability bottleneck acknowledged in the
+reference's docs/FAQ.rst:35). For subspace states the amplitudes are first
+scattered into the (sharded) full space through the traced subspace index
+map; the only host transfer is the final 2^k x 2^k density matrix.
 
 Bit convention: spin i is bit i (LSB) of the state integer; the returned
 density matrix is indexed by r = sum_j bit(keep[j]) << j, matching the
 reference's combine_states interleave (bpetsc_template_1.c:29-55).
 """
 
+from functools import lru_cache, partial
+
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _bit_perm(L, keep):
+    """The tensor-axis permutation that brings the kept spins to the front
+    (most-significant kept bit first): axis a of the [2]*L view corresponds
+    to bit (L-1-a) of the state integer."""
+    keep = list(map(int, keep))
+    traced = [i for i in range(L) if i not in keep]
+    return ([L - 1 - b for b in reversed(keep)]
+            + [L - 1 - b for b in reversed(traced)])
+
+
+def _merged_transpose(L, perm):
+    """Collapse runs of source axes that stay adjacent under ``perm`` so the
+    device transpose operates on the lowest possible rank (contiguous keep
+    regions — the common entropy cut — reduce to a rank<=3 transpose).
+
+    Returns (src_dims, merged_perm): reshape the 2^L vector to ``src_dims``,
+    transpose with ``merged_perm``.
+    """
+    # group dest-consecutive source axes that are also source-consecutive
+    groups = []  # (src_start, length), in dest order
+    for ax in perm:
+        if groups and ax == groups[-1][0] + groups[-1][1]:
+            groups[-1] = (groups[-1][0], groups[-1][1] + 1)
+        else:
+            groups.append((ax, 1))
+    src_order = sorted(range(len(groups)), key=lambda g: groups[g][0])
+    src_dims = [1 << groups[g][1] for g in src_order]
+    rank = {g: i for i, g in enumerate(src_order)}
+    merged_perm = [rank[g] for g in range(len(groups))]
+    return src_dims, merged_perm
+
+
+@lru_cache(maxsize=32)
+def _build_rdm_device(subspace, keep, int_dtype):
+    """Jitted (2, dim) re/im state -> (rho_re, rho_im) on device.
+
+    The subspace scatter, bit transpose, and V V^dagger contraction run in
+    one compiled program; GSPMD inserts the collectives when the input is
+    sharded over the mesh.
+    """
+    from .. import subspaces as sp
+    from .index_maps import device_map
+
+    L = subspace.L
+    k = len(keep)
+    full_dim = 1 << L
+    is_full = isinstance(subspace, sp.Full)
+    imap = None if is_full else device_map(subspace)
+    dim = subspace.get_dimension()
+    src_dims, merged_perm = _merged_transpose(L, _bit_perm(L, keep))
+
+    @jax.jit
+    def rdm(data):
+        if is_full:
+            full = data
+        else:
+            states = imap.i2s(jnp.arange(dim, dtype=int_dtype))
+            full = jnp.zeros((2, full_dim), dtype=data.dtype)
+            full = full.at[:, states].set(data)
+        V = jnp.transpose(
+            full.reshape([2] + src_dims),
+            [0] + [a + 1 for a in merged_perm]).reshape(2, 1 << k, -1)
+        Vr, Vi = V[0], V[1]
+        rho_re = Vr @ Vr.T + Vi @ Vi.T
+        rho_im = Vi @ Vr.T - Vr @ Vi.T
+        return rho_re, rho_im
+
+    return rdm
+
+
+def rdm_device(state, keep):
+    """Compute the RDM on the device mesh; host transfer only for the final
+    2^k x 2^k matrix (reference analog: bpetsc_template_1.c:87-165, which
+    instead gathers the full vector to rank 0)."""
+    L = state.L
+    keep = tuple(map(int, np.asarray(keep, dtype=np.int64)))
+    int_dtype = jnp.int32 if L <= 31 else jnp.int64
+    fn = _build_rdm_device(state.subspace, keep, int_dtype)
+    rho_re, rho_im = fn(state.data)
+    rho_re, rho_im = jax.device_get((rho_re, rho_im))
+    return (np.asarray(rho_re, dtype=np.float64)
+            + 1j * np.asarray(rho_im, dtype=np.float64))
 
 
 def rdm_host(state, keep):

@@ -108,6 +108,42 @@ def test_complement_symmetry():
                       entanglement_entropy(s, comp), atol=1e-6)
 
 
+@pytest.mark.parametrize('name,mk', SUBSPACES, ids=[s[0] for s in SUBSPACES])
+def test_device_matches_host(name, mk):
+    """The on-mesh transpose+matmul against the host numpy path directly."""
+    from dynamite_tpu.ops.rdm import rdm_device, rdm_host
+    s = State(state='random', subspace=mk(), seed=21)
+    for keep in [(0,), (1, 3), (0, 1, 2)]:
+        assert np.allclose(rdm_device(s, keep), rdm_host(s, keep), atol=1e-6)
+
+
+def test_rdm_sharded_mesh():
+    """RDM of a state sharded over the 8-device mesh: the scatter,
+    transpose, and V V^dagger contraction all run on the mesh (reference
+    bar to beat: rank-0 serial rdm, bpetsc_template_1.c:87-165)."""
+    from jax.sharding import PartitionSpec as P
+    from dynamite_tpu.parallel.mesh import make_mesh, AXIS
+
+    config._initialize()
+    saved = config.mesh
+    try:
+        config._mesh = make_mesh(mesh_shape=(8,))
+        Lx = 8
+        s = State(state='random', subspace=Full(L=Lx), seed=7)
+        assert s.data.sharding.spec == P(None, AXIS)
+        got = reduced_density_matrix(s, [0, 3, 5])
+        expected = oracle_rdm(s.to_numpy(), [0, 3, 5], Lx)
+        assert np.allclose(got, expected, atol=1e-6)
+
+        # subspace scatter path on the mesh
+        sp = State(state='random', subspace=Parity('even', L=Lx), seed=9)
+        got = reduced_density_matrix(sp, [1, 2])
+        expected = oracle_rdm(embed_full(sp), [1, 2], Lx)
+        assert np.allclose(got, expected, atol=1e-6)
+    finally:
+        config._mesh = saved
+
+
 def test_rdm_errors():
     s = State(state='random', subspace=Full(L=L), seed=0)
     with pytest.raises(ValueError):
