@@ -3,17 +3,16 @@ Extra operator constructions: commutators and Majorana (Jordan-Wigner)
 operators (reference analog: src/dynamite/extras.py).
 """
 
-from .operators import sigmax, sigmay, sigmaz, index_product
+from .operators import OpText, sigmax, sigmay, sigmaz, index_product
 
 
 def commutator(op1, op2):
     """The commutator [O1, O2]."""
     rtn = op1 * op2 - op2 * op1
-    rtn._string_rep.string = f'[{op1}, {op2}]'
-    rtn._string_rep.tex = (r'\left[ %s, %s \right]'
-                           % (op1._string_rep.tex, op2._string_rep.tex))
-    rtn._string_rep.repr_str = f'commutator({op1!r}, {op2!r})'
-    rtn._string_rep.brackets = ''
+    rtn._text = OpText(
+        f'[{op1}, {op2}]',
+        r'\left[ %s, %s \right]' % (op1._text.tex, op2._text.tex),
+        f'commutator({op1!r}, {op2!r})', '')
     return rtn
 
 
@@ -30,8 +29,6 @@ def majorana(idx):
     if b_idx > 0:
         rtn = index_product(sigmaz(), size=b_idx) * rtn
 
-    rtn._string_rep.string = f'χ[{idx}]'
-    rtn._string_rep.tex = r'\chi_{IDX%d}' % idx
-    rtn._string_rep.repr_str = f'majorana({idx})'
-    rtn._string_rep.brackets = ''
+    rtn._text = OpText(f'χ[{idx}]', r'\chi_{IDX%d}' % idx,
+                       f'majorana({idx})', '')
     return rtn

@@ -10,6 +10,7 @@ reference's per-subspace-pair PETSc shell matrices
 
 import re
 import warnings
+from dataclasses import dataclass
 from string import ascii_lowercase
 from zlib import crc32
 
@@ -31,7 +32,7 @@ class Operator:
     index_sum, ...) rather than instantiated directly.
     """
 
-    def __init__(self, msc=None, string_rep=None):
+    def __init__(self, msc=None, text=None):
         self._max_spin_idx = None
         self._kernels = {}
         self._norm_cache = {}
@@ -52,9 +53,7 @@ class Operator:
         if config.L is not None:
             self.L = config.L
 
-        if string_rep is None:
-            string_rep = _StringRep()
-        self._string_rep = string_rep
+        self._text = text if text is not None else OpText()
 
     def copy(self):
         """A copy of the operator (without its compiled kernels)."""
@@ -66,7 +65,7 @@ class Operator:
         if self._subspaces:
             for left, right in self.get_subspace_list():
                 rtn.add_subspace(left, right)
-        rtn._string_rep = self._string_rep.copy()
+        rtn._text = self._text  # immutable, safe to share
         return rtn
 
     # computations — bound from computations.py
@@ -343,13 +342,13 @@ class Operator:
     # -- text representations ------------------------------------------------------------
 
     def __str__(self):
-        return self._string_rep.string
+        return self._text.plain
 
     def __repr__(self):
-        return self._string_rep.repr_str
+        return self._text.code
 
     def _repr_latex_(self):
-        return '$' + self._string_rep.get_latex() + '$'
+        return '$' + self._text.display_tex() + '$'
 
     def table(self):
         """ASCII table of the operator's terms."""
@@ -366,10 +365,9 @@ class Operator:
     def from_bytes(cls, data):
         return Operator(
             msc=msc_tools.deserialize(data),
-            string_rep=_StringRep(
-                string='[operator from bytes]',
-                tex=r'\left[\text{operator from bytes}\right]',
-                repr_str='<Operator from bytes>'))
+            text=_text_atom('[operator from bytes]',
+                            r'\left[\text{operator from bytes}\right]',
+                            '<Operator from bytes>'))
 
     def save(self, filename):
         import jax
@@ -723,16 +721,17 @@ class Operator:
 
     def _check_compatible(self, other):
         if self.shell != other.shell:
-            raise ValueError("Operators must have the same value of the "
-                             "'shell' parameter to be combined. To set it "
-                             'globally, set dynamite_tpu.config.shell')
+            raise ValueError("cannot combine operators whose 'shell' "
+                             'settings differ (set '
+                             'dynamite_tpu.config.shell for a global '
+                             'default)')
         if self.allow_projection != other.allow_projection:
-            raise ValueError("Operators must have the same value of the "
-                             "'allow_projection' parameter to be combined.")
+            raise ValueError("cannot combine operators whose "
+                             "'allow_projection' settings differ")
         if self.L != other.L:
-            raise ValueError('Operators to be combined must have the same '
-                             'value of the spin chain length L. To set it '
-                             'globally, set dynamite_tpu.config.L')
+            raise ValueError(f'cannot combine operators with different '
+                             f'chain lengths ({self.L} vs {other.L}; set '
+                             'dynamite_tpu.config.L for a global default)')
 
         subsp_1 = self.get_subspace_list()
         subsp_2 = other.get_subspace_list()
@@ -747,22 +746,14 @@ class Operator:
         self._check_compatible(o)
         rtn = self.copy()
         rtn.msc = msc_tools.msc_sum([self.msc, o.msc])
-        rtn._string_rep.string = f'{self} + {o}'
-        rtn._string_rep.tex = f'{self._string_rep.tex} + {o._string_rep.tex}'
-        rtn._string_rep.repr_str = f'{self!r} + {o!r}'
-        rtn._string_rep.brackets = '()'
+        rtn._text = _text_sum([self._text, o._text])
         return rtn
 
     def _op_mul(self, o):
         self._check_compatible(o)
         rtn = self.copy()
         rtn.msc = msc_tools.msc_product([self.msc, o.msc])
-        sw = self._string_rep.with_brackets
-        ow = o._string_rep.with_brackets
-        rtn._string_rep.string = sw('string') + '*' + ow('string')
-        rtn._string_rep.tex = sw('tex') + ow('tex')
-        rtn._string_rep.repr_str = sw('repr') + '*' + ow('repr')
-        rtn._string_rep.brackets = ''
+        rtn._text = _text_product([self._text, o._text])
         return rtn
 
     def scale(self, x):
@@ -777,11 +768,7 @@ class Operator:
         self.destroy_mat()
         self._norm_cache.clear()
         coeff_str = msc_tools.format_coeff(x, parens=True)
-        sw = self._string_rep.with_brackets
-        self._string_rep.string = f'{coeff_str}*{sw("string")}'
-        self._string_rep.tex = coeff_str + sw('tex')
-        self._string_rep.repr_str = f'{coeff_str}*{sw("repr")}'
-        self._string_rep.brackets = ''
+        self._text = _text_scaled(coeff_str, self._text)
 
     def _num_mul(self, x):
         rtn = self.copy()
@@ -790,8 +777,8 @@ class Operator:
 
 
 _SUBSPACE_MISMATCH_MSG = (
-    'Operators to be combined must have the same subspaces. To set a global '
-    'default subspace, set dynamite_tpu.config.subspace')
+    'cannot combine operators whose registered subspace lists differ (set '
+    'dynamite_tpu.config.subspace for a global default)')
 
 
 # -- factory functions ------------------------------------------------------------
@@ -801,9 +788,7 @@ def sigmax(i=0):
     i = validate.spin_index(i)
     return Operator(
         msc=[(1 << i, 0, 1)],
-        string_rep=_StringRep(tex=r'\sigma^x_{IDX' + str(i) + '}',
-                              string=f'σx[{i}]',
-                              repr_str=f'sigmax({i})'))
+        text=_text_atom(f'σx[{i}]', r'\sigma^x_{IDX%d}' % i, f'sigmax({i})'))
 
 
 def sigmay(i=0):
@@ -811,9 +796,7 @@ def sigmay(i=0):
     i = validate.spin_index(i)
     return Operator(
         msc=[(1 << i, 1 << i, 1j)],
-        string_rep=_StringRep(tex=r'\sigma^y_{IDX' + str(i) + '}',
-                              string=f'σy[{i}]',
-                              repr_str=f'sigmay({i})'))
+        text=_text_atom(f'σy[{i}]', r'\sigma^y_{IDX%d}' % i, f'sigmay({i})'))
 
 
 def sigmaz(i=0):
@@ -821,18 +804,15 @@ def sigmaz(i=0):
     i = validate.spin_index(i)
     return Operator(
         msc=[(0, 1 << i, 1)],
-        string_rep=_StringRep(tex=r'\sigma^z_{IDX' + str(i) + '}',
-                              string=f'σz[{i}]',
-                              repr_str=f'sigmaz({i})'))
+        text=_text_atom(f'σz[{i}]', r'\sigma^z_{IDX%d}' % i, f'sigmaz({i})'))
 
 
 def sigma_plus(i=0):
     r""":math:`\sigma_+ = \sigma_x + i\sigma_y` on site i."""
     i = validate.spin_index(i)
     rtn = sigmax(i) + 1j * sigmay(i)
-    rtn._string_rep = _StringRep(tex=r'\sigma^+_{IDX' + str(i) + '}',
-                                 string=f'σ+[{i}]',
-                                 repr_str=f'sigma_plus({i})')
+    rtn._text = _text_atom(f'σ+[{i}]', r'\sigma^+_{IDX%d}' % i,
+                           f'sigma_plus({i})')
     return rtn
 
 
@@ -840,70 +820,51 @@ def sigma_minus(i=0):
     r""":math:`\sigma_- = \sigma_x - i\sigma_y` on site i."""
     i = validate.spin_index(i)
     rtn = sigmax(i) - 1j * sigmay(i)
-    rtn._string_rep = _StringRep(tex=r'\sigma^-_{IDX' + str(i) + '}',
-                                 string=f'σ-[{i}]',
-                                 repr_str=f'sigma_minus({i})')
+    rtn._text = _text_atom(f'σ-[{i}]', r'\sigma^-_{IDX%d}' % i,
+                           f'sigma_minus({i})')
     return rtn
 
 
 def identity():
     """The identity operator."""
-    return Operator(msc=[(0, 0, 1)],
-                    string_rep=_StringRep(tex='𝟙', string='1',
-                                          repr_str='identity()'))
+    return Operator(msc=[(0, 0, 1)], text=_text_atom('1', '𝟙', 'identity()'))
 
 
 def zero():
     """The zero operator."""
-    return Operator(msc=[],
-                    string_rep=_StringRep(tex='0', string='0',
-                                          repr_str='zero()'))
+    return Operator(msc=[], text=_text_atom('0', '0', 'zero()'))
 
 
 def op_sum(terms, nshow=3):
     """The sum of an iterable of operators."""
-    msc_terms = []
-    strings, texs, repr_strs = [], [], []
-    ellipsis = False
-    for n, t in enumerate(terms):
-        msc_terms.append(t.msc)
-        repr_strs.append(t._string_rep.repr_str)
-        if n < nshow:
-            strings.append(t._string_rep.string)
-            texs.append(t._string_rep.tex)
-        else:
-            ellipsis = True
-    if ellipsis:
-        strings.append('...')
-        texs.append(r'\cdots')
-
+    terms = list(terms)
     return Operator(
-        msc=msc_tools.msc_sum(msc_terms),
-        string_rep=_StringRep(string=' + '.join(strings),
-                              tex=' + '.join(texs),
-                              repr_str=' + '.join(repr_strs),
-                              brackets='()'))
+        msc=msc_tools.msc_sum(t.msc for t in terms),
+        text=_text_sum((t._text for t in terms), shown=nshow))
 
 
 def op_product(terms):
     """The product of an iterable of operators."""
-    msc_terms = []
-    strings, texs, repr_strs = [], [], []
-    for t in terms:
-        msc_terms.append(t.msc)
-        strings.append(t._string_rep.with_brackets('string'))
-        texs.append(t._string_rep.with_brackets('tex'))
-        repr_strs.append(t._string_rep.with_brackets('repr'))
-
-    if not msc_terms:
+    terms = list(terms)
+    if not terms:
         return identity()
-
     return Operator(
-        msc=msc_tools.msc_product(msc_terms),
-        string_rep=_StringRep(string='*'.join(strings),
-                              tex=''.join(texs),
-                              repr_str='*'.join(repr_strs),
-                              brackets=''))
+        msc=msc_tools.msc_product(t.msc for t in terms),
+        text=_text_product(t._text for t in terms))
+
+
+def _index_extent(op, size, start, fn_name):
+    """Resolve the chain extent for index_sum/index_product. Returns
+    (site count for translated copies, the size= value for the repr —
+    None when it was inherited from L)."""
+    if size is None:
+        if op.L is None:
+            raise ValueError(
+                f'{fn_name} needs to know how long the chain is: pass '
+                f'size=, or set L on the operator or on '
+                f'dynamite_tpu.config')
+        return validate.L(op.L), None
+    return validate.L(size), size
 
 
 def index_sum(op, size=None, start=0, boundary='open'):
@@ -912,98 +873,43 @@ def index_sum(op, size=None, start=0, boundary='open'):
     boundary='open' places copies while they fit; 'closed' wraps around
     (periodic).
     """
-    if size is None:
-        if op.L is None:
-            raise ValueError('Must specify index_sum size with either the '
-                             '"size" argument or by setting Operator.L '
-                             '(possibly through config.L).')
-        default_size = True
-        size = op.L
-    else:
-        default_size = False
-
-    size = validate.L(size)
+    size, size_arg = _index_extent(op, size, start, 'index_sum')
 
     if boundary == 'open':
-        stop = start + size - op.max_spin_idx
-        if stop <= start:
-            raise ValueError(f'requested size {size} for sum operator\'s '
-                             'support smaller than summand\'s support '
-                             f'{op.max_spin_idx}; impossible to satisfy')
-        wrap_idx = None
+        n_copies = size - op.max_spin_idx
+        if n_copies < 1:
+            raise ValueError(
+                f'the operator touches spin {op.max_spin_idx}, so no '
+                f'translated copy fits in an extent of {size} sites')
+        wrap_at = None
     elif boundary == 'closed':
-        stop = start + size
-        wrap_idx = stop
         if start != 0:
-            raise ValueError('cannot set start != 0 for closed boundary '
-                             'conditions.')
+            raise ValueError("index_sum with boundary='closed' covers the "
+                             'whole ring, so start must be 0')
+        n_copies = size
+        wrap_at = size
     else:
-        raise ValueError("invalid value for argument 'boundary' "
-                         "(can be 'open' or 'closed')")
+        raise ValueError(
+            f"boundary may be 'open' or 'closed', not {boundary!r}")
 
-    rep = _StringRep()
-    rep.string = f'index_sum({op}, sites {start}-{stop - 1}'
-    rep.repr_str = f'index_sum({op!r}'
-    if not default_size:
-        rep.repr_str += f', size={size}'
-    if start != 0:
-        rep.repr_str += f', start={start}'
-    if boundary == 'closed':
-        rep.string += ', wrapped'
-        rep.repr_str += ', boundary="closed"'
-    rep.string += ')'
-    rep.repr_str += ')'
-
-    sub_tex = op._string_rep.with_brackets('tex')
-    idx = _next_tex_index(sub_tex)
-    sub_tex = sub_tex.replace('{IDX', '{IDX' + idx + '+')
-    sub_tex = sub_tex.replace('{IDX' + idx + '+0', '{IDX' + idx)
-    rep.tex = (r'\sum\limits_{%s=%d}^{%d}' % (idx, start, stop - 1)) + sub_tex
-    rep.brackets = '[]'
-
+    sites = range(start, start + n_copies)
     return Operator(
-        msc=msc_tools.msc_sum(op.get_shifted_msc(i, wrap_idx)
-                              for i in range(start, stop)),
-        string_rep=rep)
+        msc=msc_tools.msc_sum(op.get_shifted_msc(i, wrap_at) for i in sites),
+        text=_text_indexed('index_sum', op, sites, size_arg, start,
+                           periodic=(boundary == 'closed')))
 
 
 def index_product(op, size=None, start=0):
     """Translate ``op`` along the chain and multiply the copies."""
-    if size is None:
-        if op.L is None:
-            raise ValueError('Must specify index_product size with either '
-                             'the "size" argument or by setting Operator.L '
-                             '(possibly through config.L).')
-        default_size = True
-        size = op.L
-    else:
-        default_size = False
-
     if size == 0:
         return identity()
+    size, size_arg = _index_extent(op, size, start, 'index_product')
 
-    size = validate.L(size)
-    stop = start + size - op.max_spin_idx
-
-    rep = _StringRep(string=f'index_product({op}, sites {start}-{stop - 1})')
-    rep.repr_str = f'index_product({op!r}'
-    if not default_size:
-        rep.repr_str += f', size={size}'
-    if start != 0:
-        rep.repr_str += f', start={start}'
-    rep.repr_str += ')'
-
-    sub_tex = op._string_rep.with_brackets('tex')
-    idx = _next_tex_index(sub_tex)
-    sub_tex = sub_tex.replace('{IDX', '{IDX' + idx + '+')
-    sub_tex = sub_tex.replace('{IDX' + idx + '+0', '{IDX' + idx)
-    rep.tex = (r'\prod\limits_{%s=%d}^{%d}' % (idx, start, stop - 1)) + sub_tex
-    rep.brackets = '[]'
-
+    sites = range(start, start + size - op.max_spin_idx)
     return Operator(
         msc=msc_tools.msc_product(op.get_shifted_msc(i, wrap_idx=None)
-                                  for i in range(start, stop)),
-        string_rep=rep)
+                                  for i in sites),
+        text=_text_indexed('index_product', op, sites, size_arg, start))
 
 
 def load_from_file(filename):
@@ -1021,82 +927,122 @@ def from_bytes(data):
     return Operator.from_bytes(data)
 
 
-def _next_tex_index(tex_str):
-    """Pick the next free summation-index letter for nested index_sums."""
-    if '{IDX' not in tex_str:
-        return 'i'
-    max_idx = max(tex_str[m.end()] for m in re.finditer('{IDX', tex_str))
-    if max_idx in ascii_lowercase:
-        return ascii_lowercase[(ascii_lowercase.find(max_idx) + 1) % 26]
-    return 'i'
+@dataclass(frozen=True)
+class OpText:
+    """The printable forms of an operator expression.
 
+    An :class:`OpText` is an immutable value; algebra on operators produces
+    new ones through the ``_text_*`` combinators below rather than mutating
+    in place. Fields:
 
-class _StringRep:
-    """String / repr / LaTeX representations of an operator expression."""
+    ``plain``
+        what ``str(op)`` shows.
+    ``tex``
+        LaTeX source. Site subscripts are spelled ``{IDXn}`` so that
+        :func:`index_sum` / :func:`index_product` can splice a summation
+        variable into them; the marker is stripped at display time.
+    ``code``
+        what ``repr(op)`` shows — an evaluable expression when possible.
+    ``group``
+        delimiters (``'()'``, ``'[]'`` or ``''``) that must surround the
+        expression when it is embedded inside a larger one. Atoms use ``''``.
+    """
 
-    def __init__(self, string=None, tex=None, repr_str=None, brackets=None):
-        self._string = string if string is not None else '[operator]'
-        self._tex = tex if tex is not None else r'\[\text{operator}\]'
-        self._repr_str = repr_str if repr_str is not None else 'Operator()'
-        self._brackets = brackets if brackets is not None else ''
+    plain: str = '[operator]'
+    tex: str = r'\[\text{operator}\]'
+    code: str = 'Operator()'
+    group: str = ''
 
-    def copy(self):
-        return _StringRep(self.string, self.tex, self.repr_str, self.brackets)
+    def embed(self, form):
+        """Render field ``form`` ('plain' | 'tex' | 'code') suitable for
+        inlining inside a larger expression: grouped expressions get their
+        delimiters (TeX gets sizing ``\\left``/``\\right``; code always uses
+        parentheses), atoms pass through unchanged."""
+        src = getattr(self, form)
+        if not self.group:
+            return src
+        if form == 'tex':
+            return rf'\left{self.group[0]}{src}\right{self.group[1]}'
+        if form == 'code':
+            return f'({src})'
+        return f'{self.group[0]}{src}{self.group[1]}'
 
-    @property
-    def string(self):
-        return self._string
-
-    @string.setter
-    def string(self, value):
-        self._string = value
-
-    @property
-    def tex(self):
-        return self._tex
-
-    @tex.setter
-    def tex(self, value):
-        self._tex = value
-
-    @property
-    def repr_str(self):
-        return self._repr_str
-
-    @repr_str.setter
-    def repr_str(self, value):
-        self._repr_str = value
-
-    @property
-    def brackets(self):
-        return self._brackets
-
-    @brackets.setter
-    def brackets(self, value):
-        if value not in ('()', '[]', ''):
-            raise ValueError("Brackets must be one of '()', '[]', or ''")
-        self._brackets = value
-
-    def with_brackets(self, which):
-        if which == 'tex':
-            base = self.tex
-            brackets = [x + y for x, y in
-                        zip((r'\left', r'\right'), self.brackets)]
-        elif which == 'string':
-            base = self.string
-            brackets = self.brackets
-        elif which == 'repr':
-            base = self.repr_str
-            brackets = '()'
-        else:
-            raise ValueError("which must be 'string', 'tex', or 'repr'.")
-        if not self.brackets:
-            return base
-        return base.join(brackets)
-
-    def get_latex(self):
+    def display_tex(self):
+        """Final LaTeX for display: the {IDX...} markers become plain
+        subscript braces."""
         return self.tex.replace('{IDX', '{')
 
-    def __repr__(self):
-        return (f"_StringRep('{self.string}', '{self.tex}', "
-                f"'{self.repr_str}', '{self.brackets}')")
+
+def _text_atom(plain, tex, code):
+    """Text for a leaf operator (a Pauli, identity, ...): never needs
+    surrounding delimiters."""
+    return OpText(plain, tex, code, '')
+
+
+def _text_sum(texts, shown=None):
+    """Text for a sum. ``shown`` truncates the plain/tex forms to the first
+    few summands (with an ellipsis); ``code`` always lists every term so the
+    repr stays evaluable."""
+    texts = list(texts)
+    plains = [t.plain for t in texts]
+    texs = [t.tex for t in texts]
+    if shown is not None and len(texts) > shown:
+        plains = plains[:shown] + ['...']
+        texs = texs[:shown] + [r'\cdots']
+    return OpText(' + '.join(plains), ' + '.join(texs),
+                  ' + '.join(t.code for t in texts), '()')
+
+
+def _text_product(texts):
+    """Text for a product: each factor rendered in embeddable form."""
+    texts = list(texts)
+    return OpText('*'.join(t.embed('plain') for t in texts),
+                  ''.join(t.embed('tex') for t in texts),
+                  '*'.join(t.embed('code') for t in texts), '')
+
+
+def _text_scaled(coeff_str, text):
+    """Text for ``coeff * expression``."""
+    return OpText(f'{coeff_str}*{text.embed("plain")}',
+                  coeff_str + text.embed('tex'),
+                  f'{coeff_str}*{text.embed("code")}', '')
+
+
+def _text_indexed(kind, op, sites, size_arg, start, periodic=False):
+    """Text for index_sum / index_product over ``sites``.
+
+    The summand's {IDXn} site markers are rewritten to {IDX<var>+n} so the
+    displayed TeX shows e.g. sigma^x_{i+1} under the sum symbol.
+    """
+    lo, hi = sites[0], sites[-1]
+
+    plain = f'{kind}({op}, sites {lo}-{hi}{", periodic" if periodic else ""})'
+
+    code_args = [repr(op)]
+    if size_arg is not None:
+        code_args.append(f'size={size_arg}')
+    if start != 0:
+        code_args.append(f'start={start}')
+    if periodic:
+        code_args.append("boundary='closed'")
+    code = f'{kind}({", ".join(code_args)})'
+
+    inner = op._text.embed('tex')
+    var = _fresh_tex_var(inner)
+    # {IDX3} -> {IDXi+3}, except offset 0 which shows as just {IDXi}
+    inner = inner.replace('{IDX', '{IDX' + var + '+')
+    inner = inner.replace('{IDX' + var + '+0', '{IDX' + var)
+    symbol = r'\sum' if kind == 'index_sum' else r'\prod'
+    tex = rf'{symbol}\limits_{{{var}={lo}}}^{{{hi}}}{inner}'
+
+    return OpText(plain, tex, code, '[]')
+
+
+def _fresh_tex_var(tex_str):
+    """A summation-variable letter not yet used by any {IDX...} marker in
+    ``tex_str`` (so nested index_sums display distinct indices)."""
+    used = {m.group(1) for m in re.finditer(r'\{IDX([a-z])', tex_str)}
+    for letter in ascii_lowercase[ascii_lowercase.find('i'):] + 'abcdefgh':
+        if letter not in used:
+            return letter
+    return 'i'

@@ -130,10 +130,12 @@ class State:
         to the product-state integer."""
         if isinstance(s, str):
             if len(s) != L:
-                raise ValueError('state string must have length L')
-            if not all(c in 'UD01' for c in s):
-                raise ValueError('only characters U, D, 0, or 1 allowed in '
-                                 'state string')
+                raise ValueError(f'got a {len(s)}-character state string for '
+                                 f'a chain of L={L} spins')
+            bad = set(s) - set('UD01')
+            if bad:
+                raise ValueError(f'state string may contain only U/D/0/1; '
+                                 f'found {sorted(bad)}')
             state = 0
             for i, c in enumerate(s):
                 if c in ('D', '1'):
@@ -141,8 +143,9 @@ class State:
         else:
             state = int(s)
             if state >> L != 0:
-                raise ValueError(f'value (binary: {bin(state)[2:]}) does not '
-                                 'correspond to a valid state of length L')
+                raise ValueError(f'integer {state} (0b{state:b}) needs more '
+                                 f'than L={L} bits, so it is not a product '
+                                 'state of this chain')
         return state
 
     def set_product(self, s):
