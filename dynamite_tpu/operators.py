@@ -905,7 +905,12 @@ def index_product(op, size=None, start=0):
         return identity()
     size, size_arg = _index_extent(op, size, start, 'index_product')
 
-    sites = range(start, start + size - op.max_spin_idx)
+    n_copies = size - op.max_spin_idx
+    if n_copies < 1:
+        raise ValueError(
+            f'the operator touches spin {op.max_spin_idx}, so no '
+            f'translated copy fits in an extent of {size} sites')
+    sites = range(start, start + n_copies)
     return Operator(
         msc=msc_tools.msc_product(op.get_shifted_msc(i, wrap_idx=None)
                                   for i in sites),

@@ -316,7 +316,7 @@ class Explicit(_ProductStateSubspace):
         return hash(('Explicit', self.get_checksum()))
 
     def __repr__(self):
-        if len(self.state_map) < 1000:
+        if len(self.state_map) <= 32:
             shown = list(self.state_map)
         else:
             shown = list(self.state_map[:3]) + ['...'] + list(self.state_map[-3:])
