@@ -53,10 +53,11 @@ def main():
     nnz_per_row = H.nnz
     total_nnz = dim * nnz_per_row
 
-    rng = np.random.RandomState(0)
-    x = rng.standard_normal((2, dim)).astype(np.float32)
-    x /= np.linalg.norm(x)
-    xd = jnp.asarray(x)
+    # generate the input on-device: a (2, 2^L) host->device transfer rides
+    # the (slow) remote-execution tunnel and can dominate the wall time
+    xd = jax.random.normal(jax.random.PRNGKey(0), (2, dim), jnp.float32)
+    xd = xd / jnp.linalg.norm(xd)
+    xd.block_until_ready()
 
     @jax.jit
     def loop(v):

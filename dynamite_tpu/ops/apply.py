@@ -47,10 +47,12 @@ UNROLL_TERM_LIMIT = 512
 # lax.scan): XLA fuses the whole group sweep within a chunk-sized body but
 # falls off a fusion cliff on full-size buffers (measured 130x at L=24)
 CHUNK_BITS = 20
-# block size for the production Pallas kernel: measured on TPU v5e (L=20
-# MBL), 2**13 both compiles 4x faster and runs 1.9x faster than 2**16
-# (smaller blocks -> more grid steps -> better DMA/compute overlap)
-PALLAS_BLOCK_BITS = 13
+# block size for the production Pallas kernel: measured on TPU v5e at L=24
+# (MBL): 2**16 -> 3.79 ms/apply vs 5.73 ms at 2**13 — bigger blocks mean
+# fewer distinct block-level mask offsets ("runs"), i.e. less HBM traffic,
+# and 512 KB DMAs amortize the per-transfer latency that dominates smaller
+# blocks (a pure 64 KB-block copy sustains only ~140 GB/s on this chip)
+PALLAS_BLOCK_BITS = 16
 
 
 def _pallas_eligible():
