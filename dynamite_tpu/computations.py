@@ -62,6 +62,10 @@ def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
 
     kernel = H.get_mat(subspaces=(state.subspace, state.subspace))
     sharded = kernel.should_shard(state.data)
+    from .solvers.krylov import check_workspace_fits
+    from .parallel.mesh import n_devices
+    check_workspace_fits(len(state), min(ncv, len(state)),
+                         n_devices() if sharded else 1, 'evolve')
     kops = kernel.krylov_ops(min(ncv, len(state)), sharded=sharded)
 
     # the matrix infinity norm (computed on device, cached on the operator)
@@ -131,6 +135,9 @@ def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
 
     dtype = config.real_dtype
     sharded = kernel.sharded_default()
+    from .solvers.krylov import check_workspace_fits
+    from .parallel.mesh import n_devices
+    check_workspace_fits(dim, ncv, n_devices() if sharded else 1, 'eigsolve')
     kops = kernel.krylov_ops(ncv, sharded=sharded)
 
     evals, S, V = eigsolve_trlanczos(

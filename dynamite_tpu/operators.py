@@ -453,11 +453,15 @@ class Operator:
         else:
             self._kernels.clear()
 
-    def estimate_memory(self, mpi_size=None):
+    def estimate_memory(self, mpi_size=None, ncv=None):
         """Estimated device memory (GB) used when applying the operator —
-        everything is matrix-free, so this is the MSC metadata plus any
-        Explicit subspace tables, per device (cf. reference shell-mode
-        formula, operators.py:692-758)."""
+        the MSC metadata plus any Explicit subspace tables (everything is
+        matrix-free), summed across devices (cf. reference shell-mode
+        formula, operators.py:692-758).
+
+        With ``ncv`` given, also counts the Krylov solver workspace: the
+        (ncv+1, 2, dim) basis the Lanczos/Arnoldi iteration keeps resident
+        (sharded over the mesh, so the total is mesh-wide)."""
         if mpi_size is None:
             from .parallel.mesh import n_devices
             try:
@@ -473,6 +477,11 @@ class Operator:
                 if sp.rmap_indices is not None:
                     usage += sp.rmap_indices.nbytes
         usage *= mpi_size
+
+        if ncv is not None:
+            from .solvers.krylov import workspace_bytes
+            usage += workspace_bytes(
+                self.right_subspace.get_dimension(), ncv)
         return usage / 1e9
 
     # -- applying ------------------------------------------------------------

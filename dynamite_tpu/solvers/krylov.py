@@ -23,6 +23,39 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def workspace_bytes(dim, ncv, real_bytes=None):
+    """Mesh-wide bytes the Lanczos iteration keeps resident: the
+    (ncv+1, 2, dim) basis plus two work vectors."""
+    if real_bytes is None:
+        from .. import config
+        import numpy as np
+        real_bytes = np.dtype(config.real_dtype).itemsize
+    return (ncv + 3) * 2 * dim * real_bytes
+
+
+def check_workspace_fits(dim, ncv, n_devices, context):
+    """Warn when the Krylov basis will not fit in device memory, with the
+    ncv-vs-memory tradeoff spelled out (the basis is sharded, so the check
+    is per device)."""
+    import jax
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get('bytes_limit')
+    except Exception:
+        limit = None
+    if not limit:
+        return
+    per_device = workspace_bytes(dim, ncv) / max(n_devices, 1)
+    if per_device > 0.9 * limit:
+        import warnings
+        warnings.warn(
+            f'{context}: the ncv={ncv} Krylov basis needs '
+            f'{per_device / 1e9:.1f} GB per device but only '
+            f'{limit / 1e9:.1f} GB is available — reduce ncv (more, '
+            f'shorter restarts) or spread the state over more devices',
+            RuntimeWarning, stacklevel=3)
+
+
 def _basis_dots(V, w, upto_mask):
     """Complex inner products <V_k | w> for all k, masked beyond the active
     basis size. V: (m, 2, dim); w: (2, dim). Returns (re, im) of shape (m,)."""
