@@ -1,85 +1,356 @@
 """
-Headline benchmark: Pauli-SpMV throughput (matrix nonzeros per second per
-chip) of the matrix-free matvec on the L=24 MBL-Heisenberg model, full
-Hilbert space, single chip — the hot kernel under every evolve()/eigsolve().
+Staged TPU benchmark harness.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "nnz/s/chip", "vs_baseline": N}
+Runs a sequence of benchmark stages — each in its OWN subprocess with its
+own timeout, so a hang in any one stage (compilation, tunnel stall, kernel
+bug) cannot destroy the round's numbers. Stage results are printed
+incrementally as JSON lines with a "stage" key; the FINAL line printed is
+the headline metric:
+
+  {"metric": "...", "value": N, "unit": "nnz/s", "vs_baseline": N}
+
+The headline is the Pauli-SpMV throughput (matrix nonzeros per second per
+chip) of the matrix-free matvec on the largest MBL-Heisenberg full-space
+config that completed — the hot kernel under every evolve()/eigsolve().
 
 vs_baseline is the ratio against 1e10 nnz/s — a speed-of-light estimate for
 the reference implementation on one CPU node (the reference is
 memory-bandwidth-bound, docs/FAQ.rst:33-47: ~200 GB/s node bandwidth /
-~16 bytes per nonzero touched ≈ 1.25e10; rounded to 1e10 since the reference
-publishes no measured numbers — BASELINE.md).
+~16 bytes per nonzero touched ~= 1.25e10; rounded down to 1e10 since the
+reference publishes no measured numbers — BASELINE.md).
 
-Protocol: `reps` applications are chained inside ONE jitted lax.fori_loop and
-the timed region ends with a host fetch of a checksum that depends on every
-application — so neither per-dispatch latency (large on remote-execution
-backends) nor async-dispatch undercounting pollutes the number.
+Un-killability properties:
+* every stage subprocess has a hard timeout (its failure -> a JSON line
+  with ok=false, and the harness moves on);
+* full-space stages run smallest-L first, so a headline number exists
+  within the first ~2 minutes;
+* SIGTERM/SIGINT to the orchestrator (e.g. an outer `timeout`) triggers
+  printing the headline from whatever stages already completed, then a
+  clean exit 0;
+* subprocesses share a persistent JAX compilation cache, so retries and
+  subsequent runs skip the (dominant) compile cost.
+
+Measurement protocol (per stage): `reps` applications are chained inside
+ONE jitted lax.fori_loop and the timed region ends with a host fetch of a
+checksum depending on every application — so neither per-dispatch latency
+(large on remote-execution backends) nor async-dispatch undercounting
+pollutes the number. Reference analog of the harness:
+benchmarking/benchmark.py:244-313.
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
+CACHE_DIR = os.environ.get('BENCH_JAX_CACHE', '/tmp/jax_bench_cache')
+
+# (name, argv-params, timeout seconds)
+STAGES = [
+    ('full_L20', {'kind': 'full', 'L': 20, 'reps': 200}, 180),
+    ('full_L24', {'kind': 'full', 'L': 24, 'reps': 50}, 330),
+    ('spinconserve_L24', {'kind': 'spinconserve', 'L': 24, 'reps': 10}, 300),
+    ('syk_N24', {'kind': 'syk', 'L': 12, 'reps': 5}, 300),
+    ('evolve_L20', {'kind': 'evolve', 'L': 20}, 240),
+]
+
+# selectable by name only (e.g. `python bench.py full_L8` in CI)
+EXTRA_STAGES = [
+    ('full_L8', {'kind': 'full', 'L': 8, 'reps': 2}, 120),
+]
+
+BASELINE = 1e10  # see module docstring
 
 
-def main():
-    import jax
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+# --------------------------------------------------------------------------
+# stage implementations (run inside the per-stage subprocess)
+# --------------------------------------------------------------------------
+
+def _timed_loop(fn, x, reps):
+    """Chain `reps` applications of fn inside one jitted loop; time the
+    second call (the first compiles + warms up)."""
     import jax.numpy as jnp
     from jax import lax
+    from dynamite_tpu.utils.hoist import hjit
 
+    # hjit, not jit: ELL-engine kernels capture large device tables that
+    # must be hoisted to runtime args, not inlined as MLIR constants
+    @hjit
+    def loop(v):
+        v = lax.fori_loop(0, reps, lambda i, w: fn(w), v)
+        return jnp.sum(v * v)
+
+    t0 = time.perf_counter()
+    chk = float(loop(x))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chk = float(loop(x))
+    elapsed = time.perf_counter() - t0
+    assert chk == chk  # finite, not NaN
+    return elapsed, compile_s
+
+
+def _random_state(dim, dtype):
+    import jax
+    import jax.numpy as jnp
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, dim), dtype)
+    x = x / jnp.linalg.norm(x)
+    x.block_until_ready()
+    return x
+
+
+def _normalized(H):
+    import numpy as np
+    H.scale(1.0 / float(np.sum(np.abs(H.msc['coeffs']))))
+    return H
+
+
+def stage_full(L, reps):
+    """Full-space MBL matvec: the Pallas XOR kernel."""
+    import jax.numpy as jnp
     from dynamite_tpu import config
     from dynamite_tpu.models import localized
     from dynamite_tpu.subspaces import Full
-
-    L = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
     config.precision = 'single'
     config.L = L
     config._initialize()
 
-    H = localized(L)
-    # normalize the spectrum so chained applications stay bounded in f32
-    H.scale(1.0 / float(np.sum(np.abs(H.msc['coeffs']))))
+    H = _normalized(localized(L))
     sub = Full(L=L)
     H.add_subspace(sub)
     kernel = H.get_mat(subspaces=(sub, sub))
     fn = kernel.traceable(sharded=False)
 
     dim = 1 << L
-    nnz_per_row = H.nnz
-    total_nnz = dim * nnz_per_row
+    x = _random_state(dim, jnp.float32)
+    elapsed, compile_s = _timed_loop(fn, x, reps)
 
-    # generate the input on-device: a (2, 2^L) host->device transfer rides
-    # the (slow) remote-execution tunnel and can dominate the wall time
-    xd = jax.random.normal(jax.random.PRNGKey(0), (2, dim), jnp.float32)
-    xd = xd / jnp.linalg.norm(xd)
-    xd.block_until_ready()
+    nnz = dim * H.nnz
+    per_apply = elapsed / reps
+    result = {
+        'nnz_per_sec': nnz * reps / elapsed,
+        'ms_per_apply': per_apply * 1e3,
+        'compile_s': compile_s,
+        'nnz_per_row': H.nnz,
+        'dim': dim,
+    }
+    # HBM traffic model for the Pallas kernel: each output block reads each
+    # distinct block-level source offset once (n_runs), plus the diagonal
+    # stream and one output write; 2 planes x 4 bytes per element
+    pp = getattr(kernel, 'pallas_plan', None)
+    if pp is not None:
+        result['pallas_block_bits'] = pp.block_bits
+        bytes_per_apply = dim * 4 * 2 * (len(pp.runs) + 2)
+        result['hbm_gbps_model'] = bytes_per_apply / per_apply / 1e9
+    return result
 
-    @jax.jit
-    def loop(v):
-        v = lax.fori_loop(0, reps, lambda i, w: fn(w), v)
-        return jnp.sum(v * v)
 
-    float(loop(xd))          # compile + warmup
-    start = time.perf_counter()
-    chk = float(loop(xd))
-    elapsed = time.perf_counter() - start
-    assert np.isfinite(chk)
+def stage_spinconserve(L, reps):
+    """SpinConserve (half filling) matvec: the general gather path with the
+    combinatorial-ranking index map fused in."""
+    import jax.numpy as jnp
+    from dynamite_tpu import config
+    from dynamite_tpu.models import heisenberg
+    from dynamite_tpu.subspaces import SpinConserve
 
-    nnz_per_sec = total_nnz * reps / elapsed
+    config.precision = 'single'
+    config.L = L
+    config._initialize()
 
-    baseline = 1e10  # see module docstring
-    print(json.dumps({
-        'metric': f'pauli_spmv_L{L}_mbl_nnz_per_sec_per_chip',
-        'value': nnz_per_sec,
-        'unit': 'nnz/s',
-        'vs_baseline': nnz_per_sec / baseline,
-    }))
+    H = _normalized(heisenberg(L))
+    sub = SpinConserve(L, L // 2)
+    H.add_subspace(sub)
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+
+    dim = sub.get_dimension()
+    x = _random_state(dim, jnp.float32)
+    elapsed, compile_s = _timed_loop(fn, x, reps)
+    nnz = dim * H.nnz
+    return {
+        'nnz_per_sec': nnz * reps / elapsed,
+        'ms_per_apply': elapsed / reps * 1e3,
+        'compile_s': compile_s,
+        'dim': dim,
+    }
+
+
+def stage_syk(L, reps):
+    """SYK with 2L Majorana modes: many mask groups -> the scan path."""
+    import jax.numpy as jnp
+    from dynamite_tpu import config
+    from dynamite_tpu.models import syk
+    from dynamite_tpu.subspaces import Parity
+
+    config.precision = 'single'
+    config.L = L
+    config._initialize()
+
+    H = _normalized(syk(L))
+    sub = Parity('even', L=L)
+    H.add_subspace(sub)
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+
+    dim = sub.get_dimension()
+    x = _random_state(dim, jnp.float32)
+    elapsed, compile_s = _timed_loop(fn, x, reps)
+    nnz = dim * H.nnz
+    return {
+        'nnz_per_sec': nnz * reps / elapsed,
+        'ms_per_apply': elapsed / reps * 1e3,
+        'compile_s': compile_s,
+        'dim': dim,
+        'nterms': len(H.msc),
+    }
+
+
+def stage_evolve(L):
+    """End-to-end evolve() wall time (Expokit-style stepping, Lanczos inner
+    loop) on the MBL chain at t=1.0."""
+    from dynamite_tpu import config
+    from dynamite_tpu.models import localized
+    from dynamite_tpu.states import State
+    from dynamite_tpu.subspaces import Full
+    from dynamite_tpu.computations import evolve
+
+    config.precision = 'single'
+    config.L = L
+    config._initialize()
+
+    H = localized(L)
+    sub = Full(L=L)
+    H.add_subspace(sub)
+    psi = State(state='random', subspace=sub, seed=42)
+
+    t0 = time.perf_counter()
+    r1 = evolve(H, psi, 0.1)  # compile + warmup (same program as below)
+    r1.data.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    r = evolve(H, psi, 1.0)
+    r.data.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    nrm = r.norm()
+    assert abs(nrm - 1.0) < 1e-3, nrm
+    return {
+        'evolve_s': elapsed,
+        'compile_s': compile_s,
+        'dim': 1 << L,
+    }
+
+
+KINDS = {
+    'full': lambda p: stage_full(p['L'], p['reps']),
+    'spinconserve': lambda p: stage_spinconserve(p['L'], p['reps']),
+    'syk': lambda p: stage_syk(p['L'], p['reps']),
+    'evolve': lambda p: stage_evolve(p['L']),
+}
+
+
+def run_stage_child(params_json):
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', CACHE_DIR)
+    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+    params = json.loads(params_json)
+    result = KINDS[params['kind']](params)
+    _emit(result)
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def _headline(results):
+    """Build the headline metric line from whatever completed."""
+    best = None
+    for name, res in results.items():
+        if name.startswith('full_') and res.get('ok'):
+            L = res['params']['L']
+            if best is None or L > best[0]:
+                best = (L, res)
+    if best is None:
+        return {'metric': 'pauli_spmv_mbl_nnz_per_sec_per_chip',
+                'value': 0.0, 'unit': 'nnz/s', 'vs_baseline': 0.0,
+                'error': 'no full-space stage completed'}
+    L, res = best
+    v = res['nnz_per_sec']
+    return {'metric': f'pauli_spmv_L{L}_mbl_nnz_per_sec_per_chip',
+            'value': v, 'unit': 'nnz/s', 'vs_baseline': v / BASELINE}
+
+
+def main():
+    results = {}
+    done = {'emitted': False}
+
+    def emit_headline(*_args):
+        if not done['emitted']:
+            done['emitted'] = True
+            _emit(_headline(results))
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, emit_headline)
+    signal.signal(signal.SIGINT, emit_headline)
+
+    total_budget = float(os.environ.get('BENCH_BUDGET', 1200))
+    t_start = time.perf_counter()
+
+    only = sys.argv[1:] if len(sys.argv) > 1 else None
+
+    stages = STAGES + (EXTRA_STAGES if only else [])
+    for name, params, stage_timeout in stages:
+        if only and name not in only:
+            continue
+        remaining = total_budget - (time.perf_counter() - t_start)
+        if remaining < 30:
+            _emit({'stage': name, 'ok': False, 'skipped': 'out of budget'})
+            continue
+        budget = min(stage_timeout, remaining)
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), '--stage',
+                 json.dumps(params)],
+                capture_output=True, text=True, timeout=budget,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or '.')
+            wall = time.perf_counter() - t0
+            line = None
+            for ln in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    line = json.loads(ln)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if proc.returncode == 0 and line is not None:
+                rec = {'stage': name, 'ok': True, 'wall_s': round(wall, 2),
+                       **{k: (round(v, 3) if isinstance(v, float) else v)
+                          for k, v in line.items()}}
+                results[name] = {'ok': True, 'params': params, **line}
+            else:
+                tail = (proc.stderr or proc.stdout or '').strip(
+                    ).splitlines()[-3:]
+                rec = {'stage': name, 'ok': False, 'rc': proc.returncode,
+                       'tail': ' | '.join(tail)[-300:]}
+                results[name] = {'ok': False, 'params': params}
+        except subprocess.TimeoutExpired:
+            rec = {'stage': name, 'ok': False,
+                   'timeout_s': budget}
+            results[name] = {'ok': False, 'params': params}
+        _emit(rec)
+
+    emit_headline()
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == '--stage':
+        run_stage_child(sys.argv[2])
+    else:
+        main()

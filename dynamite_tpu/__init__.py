@@ -39,6 +39,12 @@ class _Config:
         # raise (instead of warn + fall back to the XLA engine) if a Pallas
         # kernel build fails where it should have succeeded
         self.require_pallas = False
+        # the precomputed-table ELL engine for general subspace pairs
+        # (ops/ell.py); within this device-memory budget it replaces the
+        # on-the-fly term sweep, which recomputes subspace rankings every
+        # apply
+        self.use_ell = True
+        self.ell_budget = 4 << 30  # bytes
 
     # -- one-shot initialization ------------------------------------------
 

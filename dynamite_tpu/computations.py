@@ -25,6 +25,15 @@ def _state_sharding(dim, sharded):
     return mesh_mod.shard_spec(config.mesh, dim)
 
 
+def _storage_dim(dim, sharded):
+    """Physical vector length for solver-internal state vectors (padded on
+    multi-device meshes; see parallel.mesh.storage_dim)."""
+    if not sharded:
+        return dim
+    from .parallel import mesh as mesh_mod
+    return mesh_mod.storage_dim(dim, config.mesh)
+
+
 def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
            max_its=None):
     r"""Evolve a state under the Schrodinger equation:
@@ -142,7 +151,8 @@ def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
 
     evals, S, V = eigsolve_trlanczos(
         kops, dim, dtype, nev=nev, which=which, tol=tol,
-        max_restarts=max_its, sharding=_state_sharding(dim, sharded))
+        max_restarts=max_its, sharding=_state_sharding(dim, sharded),
+        storage_dim=_storage_dim(dim, sharded))
 
     if not getvecs:
         return np.asarray(evals, dtype=float)
@@ -230,7 +240,8 @@ def _target_candidates_shift_invert(H, kernel, dim, nev_f, target, tol,
 
     _theta, S, V = eigsolve_trlanczos(
         kops, dim, dtype, nev=nev_f, which='exterior', tol=outer_tol,
-        max_restarts=max_its, sharding=_state_sharding(dim, sharded))
+        max_restarts=max_its, sharding=_state_sharding(dim, sharded),
+        storage_dim=_storage_dim(dim, sharded))
     return _ritz_states(H, subspace, S, V, dtype)
 
 
@@ -262,7 +273,8 @@ def _target_candidates_fold(H, dim, nev_f, target, tol, max_its, ncv,
 
     _evals_sq, S, V = eigsolve_trlanczos(
         kops, dim, dtype, nev=nev_f, which='lowest', tol=tol,
-        max_restarts=max_its, sharding=_state_sharding(dim, sharded))
+        max_restarts=max_its, sharding=_state_sharding(dim, sharded),
+        storage_dim=_storage_dim(dim, sharded))
     return _ritz_states(H, subspace, S, V, dtype)
 
 

@@ -34,6 +34,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils.bitwise import parity as parity_np
+from ..utils.hoist import hjit
 from . import msc as msc_mod
 from .index_maps import device_map, parity_j, FullMap, ParityMap
 
@@ -223,10 +224,12 @@ class OperatorKernel:
         self.left = left
         self.right = right
         self.mesh = mesh
+        self.pallas_plan = None  # set when the Pallas fast path is built
         self._local_callable = self._build_local()
-        self._local_fn = jax.jit(self._local_callable)
+        self._local_fn = hjit(self._local_callable)
         self._sharded_callable = None  # built lazily
         self._sharded_fn = None
+        self._padded_local_fn = None
         self._krylov_ops = {}
 
     # -- public ---------------------------------------------------------------
@@ -234,7 +237,29 @@ class OperatorKernel:
     def apply(self, x):
         if self._use_sharded(x):
             return self.sharded_fn(x)
+        if x.shape[-1] != self.plan.dim_right:
+            # padded storage (multi-device mesh) arriving on the local
+            # (replicated) path: strip the pad, apply, re-pad the output
+            return self.padded_local_fn(x)
         return self._local_fn(x)
+
+    @property
+    def padded_local_fn(self):
+        if self._padded_local_fn is None:
+            from ..parallel.mesh import storage_dim
+            plan = self.plan
+            inner = self._local_callable
+            sdim_left = storage_dim(plan.dim_left, self.mesh)
+
+            def fn(x):
+                y = inner(x[:, :plan.dim_right])
+                if sdim_left != plan.dim_left:
+                    y = jnp.pad(y, ((0, 0),
+                                    (0, sdim_left - plan.dim_left)))
+                return y
+
+            self._padded_local_fn = hjit(fn)
+        return self._padded_local_fn
 
     def traceable(self, sharded=False):
         """The unjitted apply callable, for embedding in larger programs
@@ -275,12 +300,11 @@ class OperatorKernel:
 
     @property
     def sharded_supported(self):
-        p = self.plan
-        nd = self.mesh.devices.size if self.mesh is not None else 1
-        if self._xor_sharded_eligible:
-            return True
-        # general path: any subspace pair whose dimensions split evenly
-        return p.dim_left % nd == 0 and p.dim_right % nd == 0
+        # the general path handles any (dim, device-count) pair: state
+        # storage is padded to a multiple of the device count (the analog
+        # of the reference's uneven row partition, PetscSplitOwnership,
+        # bpetsc_template_2.c:232-235) and pad rows are masked in-kernel
+        return True
 
     @property
     def _xor_sharded_eligible(self):
@@ -294,7 +318,7 @@ class OperatorKernel:
     @property
     def sharded_fn(self):
         if self._sharded_fn is None:
-            self._sharded_fn = jax.jit(self.traceable(sharded=True))
+            self._sharded_fn = hjit(self.traceable(sharded=True))
         return self._sharded_fn
 
     # -- local (single device / replicated) path --------------------------------
@@ -302,6 +326,9 @@ class OperatorKernel:
     def _build_local(self):
         plan = self.plan
         fn = self._try_pallas()
+        if fn is not None:
+            return fn
+        fn = self._try_ell_local()
         if fn is not None:
             return fn
         if plan.use_scan:
@@ -342,30 +369,63 @@ class OperatorKernel:
 
     def _try_pallas(self):
         """The hand-written Pallas TPU kernel (pallas_apply.py) when the plan
-        supports it; the XLA engine remains the general/fallback path."""
+        supports it; the XLA engine remains the general/fallback path.
+
+        The configured block size is an upper bound: PallasXorPlan's VMEM
+        budget can lower it, and a failed build retries at smaller blocks
+        before falling back to XLA."""
         from .. import config
         if config.precision != 'single':
             return None
         if not _pallas_eligible():
             return None
-        try:
-            from .pallas_apply import build_pallas_apply
-            return build_pallas_apply(
-                self.plan, self.left, self.right,
-                block_bits=min(PALLAS_BLOCK_BITS,
-                               self.plan.dim_right.bit_length() - 1))
-        except Exception as e:
-            # a failed kernel build must not silently demote production to
-            # the (slower) XLA engine: surface it, and raise when the user
-            # demands the fast path
-            if getattr(config, 'require_pallas', False):
-                raise
-            import warnings
-            warnings.warn('Pallas kernel build failed; falling back to the '
-                          f'XLA apply engine (set config.require_pallas to '
-                          f'raise instead): {e!r}', RuntimeWarning,
-                          stacklevel=2)
+        from .pallas_apply import build_pallas_apply, MIN_BLOCK_BITS
+        bb = min(PALLAS_BLOCK_BITS, self.plan.dim_right.bit_length() - 1)
+        last_err = None
+        while bb >= MIN_BLOCK_BITS:
+            try:
+                fn = build_pallas_apply(self.plan, self.left, self.right,
+                                        block_bits=bb)
+                if fn is not None:
+                    self.pallas_plan = getattr(fn, 'pallas_plan', None)
+                return fn
+            except Exception as e:
+                last_err = e
+                built = getattr(e, 'pallas_block_bits', bb)
+                bb = min(bb, built) - 2  # retry at a smaller block
+        # a failed kernel build must not silently demote production to
+        # the (slower) XLA engine: surface it, and raise when the user
+        # demands the fast path
+        if getattr(config, 'require_pallas', False):
+            raise last_err
+        import warnings
+        warnings.warn('Pallas kernel build failed at every block size; '
+                      'falling back to the XLA apply engine (set '
+                      f'config.require_pallas to raise instead): '
+                      f'{last_err!r}', RuntimeWarning, stacklevel=2)
+        return None
+
+    def _try_ell_local(self):
+        """The precomputed-table ELL engine (ops/ell.py) for plans whose
+        on-the-fly path would recompute subspace rankings every apply:
+        non-XOR pairs (SpinConserve/Explicit/Auto/projections) and
+        many-mask XOR operators (SYK). XOR pairs with few masks keep the
+        cheaper table-free xor_permute path."""
+        from . import ell
+        plan = self.plan
+        if not ell.ell_enabled() or not plan.groups:
             return None
+        if plan.xor_mode and not plan.use_scan:
+            return None
+        if ell.table_bytes(plan) > ell.ell_budget():
+            return None
+        from .. import config
+        cols, fr, fi = ell.build_tables(plan, plan.dim_left,
+                                        config.real_dtype)
+        inner = ell.make_apply(plan.dim_left, fi is not None)
+        if fi is None:
+            return lambda x: inner(x, cols, fr)
+        return lambda x: inner(x, cols, fr, fi)
 
     def _build_local_chunked(self):
         """Row-chunked sweep: an outer lax.scan over output chunks whose
@@ -537,12 +597,24 @@ class OperatorKernel:
         gather with pairwise ppermutes when the subspace structure allows.
         Compute and output bandwidth scale with devices; input memory is
         O(dim_right) per device during the sweep.
+
+        Operates on padded storage (parallel.mesh.storage_dim): rows beyond
+        dim_left are masked to zero, and pad columns of the gathered input
+        are never indexed (cols come from s2i, always < dim_right).
         """
+        from ..parallel.mesh import storage_dim
         plan = self.plan
         mesh = self.mesh
         nd = mesh.devices.size
         axis = mesh.axis_names[0]
-        local_left = plan.dim_left // nd
+        sdim_left = storage_dim(plan.dim_left, mesh)
+        local_left = sdim_left // nd
+        has_pad = local_left * nd != plan.dim_left
+
+        from . import ell
+        if (ell.ell_enabled() and plan.groups
+                and ell.table_bytes(plan, sdim_left) <= ell.ell_budget()):
+            return self._build_sharded_ell(sdim_left, local_left)
 
         if plan.use_scan:
             chunked = _chunked_arrays(plan.groups)
@@ -554,6 +626,9 @@ class OperatorKernel:
             idt = plan.int_dtype
             me = lax.axis_index(axis).astype(idt)
             rows = _iota(local_left, idt) + me * jnp.asarray(local_left, idt)
+            if has_pad:
+                valid_row = (rows < plan.dim_left).astype(dtype)
+                rows = jnp.minimum(rows, plan.dim_left - 1)
             row_states = plan.row_states(rows)
             x = lax.all_gather(x_local, axis, axis=1, tiled=True)
 
@@ -564,6 +639,13 @@ class OperatorKernel:
                 cr_d = jnp.asarray(cr_c, dtype)
                 ci_d = jnp.asarray(ci_c, dtype)
                 y0 = jnp.zeros((2, local_left), dtype)
+                # the scan carry becomes device-varying on the first step
+                # (rows depend on axis_index); mark the initial zeros to
+                # match
+                if hasattr(lax, 'pcast'):
+                    y0 = lax.pcast(y0, (axis,), to='varying')
+                elif hasattr(lax, 'pvary'):
+                    y0 = lax.pvary(y0, (axis,))
 
                 def step(y, args):
                     m, signs, cr, ci = args
@@ -583,6 +665,8 @@ class OperatorKernel:
                     return jnp.stack([yr, yi]), None
 
                 y, _ = lax.scan(step, y0, (masks_d, signs_d, cr_d, ci_d))
+                if has_pad:
+                    y = y * valid_row[None, :]
                 return y
 
             y = (jnp.zeros(local_left, dtype), jnp.zeros(local_left, dtype))
@@ -598,10 +682,46 @@ class OperatorKernel:
                 if fi is not None:
                     fi = fi * ok
                 y = _accumulate(y, fr, fi, xp)
-            return jnp.stack(y)
+            out = jnp.stack(y)
+            if has_pad:
+                out = out * valid_row[None, :]
+            return out
 
         return jax.shard_map(local_fn, mesh=mesh,
                              in_specs=P(None, axis), out_specs=P(None, axis))
+
+    def _build_sharded_ell(self, sdim_left, local_left):
+        """Distributed ELL apply: tables sharded over the owned output rows,
+        input all-gathered over ICI (see ops/ell.py)."""
+        from . import ell
+        from .. import config
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        spec = NamedSharding(mesh, P(None, None, axis))
+        cols, fr, fi = ell.build_tables(self.plan, sdim_left,
+                                        config.real_dtype,
+                                        out_shardings=spec)
+        inner = ell.make_apply(local_left, fi is not None, vary_axis=axis)
+
+        if fi is None:
+            def local_fn(x_local, cols_l, fr_l):
+                x = lax.all_gather(x_local, axis, axis=1, tiled=True)
+                return inner(x, cols_l, fr_l)
+            n_tables = 2
+        else:
+            def local_fn(x_local, cols_l, fr_l, fi_l):
+                x = lax.all_gather(x_local, axis, axis=1, tiled=True)
+                return inner(x, cols_l, fr_l, fi_l)
+            n_tables = 3
+
+        mapped = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(None, axis),) + (P(None, None, axis),) * n_tables,
+            out_specs=P(None, axis))
+
+        if fi is None:
+            return lambda x: mapped(x, cols, fr)
+        return lambda x: mapped(x, cols, fr, fi)
 
 
 def _chunked_arrays(groups, chunk=TERM_CHUNK):

@@ -79,6 +79,19 @@ def shift(x, cr, ci):
                           jnp.full_like(x[1], jnp.asarray(ci, dt))])
 
 
+@partial(jax.jit, static_argnums=3)
+def shift_n(x, cr, ci, n):
+    """Add the complex scalar (cr, ci) to the first ``n`` elements only
+    (the rest is state-storage padding, which must stay zero)."""
+    if n == x.shape[-1]:
+        return shift(x, cr, ci)
+    dt = x.dtype
+    keep = (jax.lax.broadcasted_iota(jnp.int32, (x.shape[-1],), 0)
+            < n).astype(dt)
+    return x + jnp.stack([keep * jnp.asarray(cr, dt),
+                          keep * jnp.asarray(ci, dt)])
+
+
 @jax.jit
 def mul_elementwise(x, y):
     xr, xi = x[0], x[1]

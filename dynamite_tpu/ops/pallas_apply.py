@@ -111,11 +111,15 @@ class PallasXorPlan:
         self.dim = plan.dim_right
         self.nbits = nbits
 
+        # the passed block_bits is an upper bound; the VMEM budget can lower
+        # it (many-run operators like long_range exceed the ~16 MB/core at
+        # the largest block)
         if block_bits is None:
-            block_bits = min(MAX_BLOCK_BITS, nbits)
-            while (block_bits > MIN_BLOCK_BITS
-                   and self._vmem_estimate(plan, block_bits) > VMEM_BUDGET):
-                block_bits -= 1
+            block_bits = MAX_BLOCK_BITS
+        block_bits = min(block_bits, nbits)
+        while (block_bits > MIN_BLOCK_BITS
+               and self._vmem_estimate(plan, block_bits) > VMEM_BUDGET):
+            block_bits -= 1
         self.block_bits = min(block_bits, nbits)
         B = 1 << self.block_bits
         self.B = B
@@ -135,8 +139,14 @@ class PallasXorPlan:
         B = 1 << block_bits
         block_bytes = 2 * B * 4          # (2, R, 128) f32
         n_runs = cls._runs_at(plan, block_bits)
+        # the packed +-1 sign-factor tables are VMEM-resident in full: one
+        # (R, ~nterms) column table and one (~nterms, 128) row table
+        R = max(B >> LANE_BITS, 1)
+        nterms = plan.nterms
+        sign_tables = (R * (-(-max(nterms, 1) // 128) * 128)
+                       + (-(-max(nterms, 1) // 8) * 8) * 128) * 4
         # double-buffered inputs + output + diagonal stream + constants
-        return (2 * n_runs + 2 + 2) * block_bytes + (1 << 20)
+        return (2 * n_runs + 2 + 2) * block_bytes + sign_tables + (1 << 20)
 
     def _decompose(self, plan, left, right):
         B, R = self.B, self.R
@@ -249,6 +259,11 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
         return None
     if plan.int_dtype != np.int32:
         return None  # L > 31 runs in double precision on the XLA path
+    if plan.use_scan:
+        # many-mask operators (SYK: ~10k mask groups) would unroll into an
+        # enormous kernel body and VMEM-resident sign tables; they take the
+        # scan engine instead
+        return None
     try:
         p = PallasXorPlan(plan, left, right, block_bits)
     except TypeError:
@@ -396,4 +411,5 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
         y = call(*((xv,) * n_runs + extra_tuple))
         return y.reshape(2, p.dim)
 
+    apply_fn.pallas_plan = p
     return apply_fn

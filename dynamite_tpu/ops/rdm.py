@@ -73,8 +73,11 @@ def _build_rdm_device(subspace, keep, int_dtype):
     dim = subspace.get_dimension()
     src_dims, merged_perm = _merged_transpose(L, _bit_perm(L, keep))
 
-    @jax.jit
+    from ..utils.hoist import hjit
+
+    @hjit
     def rdm(data):
+        data = data[:, :dim]  # drop any storage pad (parallel.mesh)
         if is_full:
             full = data
         else:

@@ -24,6 +24,7 @@ from jax import lax
 from . import msc as msc_mod
 from .index_maps import device_map, parity_j
 from .apply import _iota, TERM_CHUNK
+from ..utils.hoist import hjit
 
 # rows (columns) per outer scan step
 RED_CHUNK_BITS = 16
@@ -123,7 +124,7 @@ def build_infinity_norm(msc, left, right, real_dtype, int_dtype):
                             length=n_chunks)
         return jnp.max(maxes)
 
-    return jax.jit(norm_fn)
+    return hjit(norm_fn)
 
 
 def build_check_conserves(msc, left, right, real_dtype, int_dtype):
@@ -193,4 +194,4 @@ def build_check_conserves(msc, left, right, real_dtype, int_dtype):
                           length=n_chunks)
         return jnp.all(oks)
 
-    return jax.jit(check_fn)
+    return hjit(check_fn)

@@ -33,23 +33,44 @@ def n_devices(mesh=None):
     return mesh.devices.size
 
 
-def shard_spec(mesh, dim):
-    """Sharding for a state vector stored as a (2, dim) re/im stack.
+def storage_dim(dim, mesh=None):
+    """Physical storage length for a logical state dimension.
 
-    Shards the state axis when it divides evenly over the mesh (always true
-    for Full/Parity power-of-two dimensions on power-of-two meshes);
-    otherwise replicates.
+    Dimensions that do not divide the device count are zero-padded up to
+    the next multiple, so every state vector shards evenly over the mesh —
+    the analog of the reference's uneven row partition
+    (PetscSplitOwnership, bpetsc_template_2.c:232-235), realized as padding
+    because XLA wants static, evenly-split shapes. The padded tail is an
+    invariant zero everywhere (enforced by the state setters and by the
+    matvec kernels masking pad rows).
+    """
+    if mesh is None:
+        from .. import config
+        mesh = config.mesh
+    nd = mesh.devices.size
+    if nd <= 1:
+        return dim
+    return -(-dim // nd) * nd
+
+
+def shard_spec(mesh, dim):
+    """Sharding for a state vector stored as a (2, storage_dim) re/im stack.
+
+    Always shards the state axis on a multi-device mesh: storage is padded
+    to a multiple of the device count (see :func:`storage_dim`), so any
+    subspace dimension — C(20,10) included — splits evenly.
     """
     nd = mesh.devices.size
-    if nd > 1 and dim % nd == 0:
+    if nd > 1:
         return NamedSharding(mesh, P(None, AXIS))
     return NamedSharding(mesh, P(None, None))
 
 
 def row_shard_spec(mesh, dim):
-    """Sharding for a 1-D array of length ``dim`` along the state axis."""
+    """Sharding for a 1-D array of length ``storage_dim`` along the state
+    axis."""
     nd = mesh.devices.size
-    if nd > 1 and dim % nd == 0:
+    if nd > 1:
         return NamedSharding(mesh, P(AXIS))
     return NamedSharding(mesh, P(None))
 
@@ -58,6 +79,18 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def pad_state(data, mesh, dim):
+    """Zero-pad a host (2, dim) array to (2, storage_dim)."""
+    sdim = storage_dim(dim, mesh)
+    if sdim == data.shape[-1]:
+        return data
+    out = np.zeros(data.shape[:-1] + (sdim,), dtype=data.dtype)
+    out[..., :dim] = data
+    return out
+
+
 def device_put_state(data, mesh, dim):
-    """Place a (2, dim) array on the mesh with the canonical sharding."""
-    return jax.device_put(data, shard_spec(mesh, dim))
+    """Place a (2, dim) host array on the mesh with the canonical sharding,
+    padding the storage as needed."""
+    return jax.device_put(pad_state(np.asarray(data), mesh, dim),
+                          shard_spec(mesh, dim))

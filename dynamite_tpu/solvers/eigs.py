@@ -18,25 +18,32 @@ from . import krylov
 from .expmv import ConvergenceError, MaxIterationsError
 
 
-def random_start(dim, dtype, seed=0, sharding=None):
+def random_start(dim, dtype, seed=0, sharding=None, storage_dim=None):
     """Normalized random start vector, generated directly on the device mesh
     (no host round-trip: at L=30 the host path would move 2*2^30 floats).
-    The values are a deterministic function of ``seed`` regardless of the
-    device count or sharding."""
+    The values are a deterministic function of ``seed`` for a given storage
+    length. ``storage_dim`` > dim pads the tail with zeros (uneven-sharding
+    storage; see parallel.mesh.storage_dim)."""
+    if storage_dim is None:
+        storage_dim = dim
     kwargs = {}
     if sharding is not None:
         kwargs['out_shardings'] = sharding
 
-    @partial(jax.jit, static_argnums=(1, 2), **kwargs)
-    def gen(key, n, dt):
-        w = jax.random.normal(key, (2, n), dtype=dt)
+    @partial(jax.jit, static_argnums=(1, 2, 3), **kwargs)
+    def gen(key, n, n_storage, dt):
+        w = jax.random.normal(key, (2, n_storage), dtype=dt)
+        if n_storage != n:
+            keep = jax.lax.broadcasted_iota(jnp.int32, (n_storage,), 0) < n
+            w = w * keep[None, :].astype(w.dtype)
         return w / jnp.sqrt(jnp.sum(w * w))
 
-    return gen(jax.random.PRNGKey(seed), dim, jnp.dtype(dtype))
+    return gen(jax.random.PRNGKey(seed), dim, storage_dim, jnp.dtype(dtype))
 
 
 def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
-                       max_restarts=None, seed=0, v0=None, sharding=None):
+                       max_restarts=None, seed=0, v0=None, sharding=None,
+                       storage_dim=None):
     """Solve for ``nev`` eigenvalues of the Hermitian operator.
 
     Parameters
@@ -69,7 +76,8 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
         max_restarts = 1000
 
     if v0 is None:
-        v0 = random_start(dim, dtype, seed=seed, sharding=sharding)
+        v0 = random_start(dim, dtype, seed=seed, sharding=sharding,
+                          storage_dim=storage_dim)
 
     # number of Ritz pairs retained through a restart
     p = min(m - 1, max(nev + 5, (m + nev) // 2))

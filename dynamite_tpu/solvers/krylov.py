@@ -189,9 +189,13 @@ class KrylovOps:
     same executables."""
 
     def __init__(self, matvec, m):
+        from ..utils.hoist import hjit
         self.m = m
         self.matvec = matvec
-        self.lanczos = jax.jit(lambda v: lanczos(matvec, v, m))
-        self.lanczos_restarted = jax.jit(
+        # hjit, not jit: the matvec may capture large device tables (ELL
+        # engine, Explicit subspace maps) that must become runtime
+        # arguments rather than inlined MLIR constants
+        self.lanczos = hjit(lambda v: lanczos(matvec, v, m))
+        self.lanczos_restarted = hjit(
             lambda V, p: lanczos_restarted(matvec, V, p, m))
-        self.matvec_norm = jax.jit(lambda v: _norm(matvec(v)))
+        self.matvec_norm = hjit(lambda v: _norm(matvec(v)))

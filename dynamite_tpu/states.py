@@ -100,15 +100,26 @@ class State:
             raise UninitializedError('State vector data has not been set yet')
 
     @property
+    def storage_dim(self):
+        """Physical length of the state axis: the subspace dimension padded
+        up to a multiple of the device count (see
+        :func:`dynamite_tpu.parallel.mesh.storage_dim`). The tail beyond
+        ``len(self)`` is an invariant zero."""
+        config._initialize()
+        return mesh_mod.storage_dim(len(self), config.mesh)
+
+    @property
     def data(self):
-        """The (2, dim) re/im device array. Lazily allocated as zeros."""
+        """The (2, storage_dim) re/im device array. Lazily allocated as
+        zeros."""
         if self._data is None:
             if self.L is None:
                 raise ValueError('must set L first')
             config._initialize()
             dim = len(self)
             self._data = jax.device_put(
-                np.zeros((2, dim), dtype=config.real_dtype),
+                np.zeros((2, mesh_mod.storage_dim(dim, config.mesh)),
+                         dtype=config.real_dtype),
                 mesh_mod.shard_spec(config.mesh, dim))
         return self._data
 
@@ -187,13 +198,21 @@ class State:
                 dtype=np.int64))[0])
         config._initialize()
         dim = len(self)
+        sdim = mesh_mod.storage_dim(dim, config.mesh)
         sharding = mesh_mod.shard_spec(config.mesh, dim)
 
-        @partial(jax.jit, static_argnums=1, out_shardings=sharding)
-        def _gen(key, n):
-            return jax.random.normal(key, (2, n), dtype=config.real_dtype)
+        @partial(jax.jit, static_argnums=(1, 2), out_shardings=sharding)
+        def _gen(key, n, n_storage):
+            w = jax.random.normal(key, (2, n_storage),
+                                  dtype=config.real_dtype)
+            if n_storage != n:
+                # zero the storage pad (see State.storage_dim)
+                keep = jax.lax.broadcasted_iota(
+                    np.int32, (n_storage,), 0) < n
+                w = w * keep[None, :].astype(w.dtype)
+            return w
 
-        data = _gen(jax.random.PRNGKey(seed % 2**32), dim)
+        data = _gen(jax.random.PRNGKey(seed % 2**32), dim, sdim)
         if normalize:
             data = cvec.scale_real(data, 1.0 / float(cvec.norm(data)))
         self._data = data
@@ -222,9 +241,8 @@ class State:
             raise ValueError('array shape does not match subspace dimension')
         config._initialize()
         stacked = np.stack([vec.real, vec.imag]).astype(config.real_dtype)
-        dim = len(self)
-        self._data = jax.device_put(
-            stacked, mesh_mod.shard_spec(config.mesh, dim))
+        self._data = mesh_mod.device_put_state(stacked, config.mesh,
+                                               len(self))
         self.set_initialized()
 
     # -- conversions -----------------------------------------------------------
@@ -242,6 +260,7 @@ class State:
             from jax.experimental import multihost_utils
             data = multihost_utils.process_allgather(data, tiled=True)
         arr = np.asarray(jax.device_get(data), dtype=np.float64)
+        arr = arr[:, :len(self)]  # drop the storage pad
         return arr[0] + 1j * arr[1]
 
     # -- measurement/projection -------------------------------------------------
@@ -257,7 +276,8 @@ class State:
 
         dim = len(self)
         states = self.subspace.idx_to_state(np.arange(dim, dtype=np.int64))
-        keep = (((states >> index) & 1) == value).astype(config.real_dtype)
+        keep = np.zeros(self.storage_dim, dtype=config.real_dtype)
+        keep[:dim] = ((states >> index) & 1) == value
         keep = jax.device_put(keep, mesh_mod.row_shard_spec(config.mesh, dim))
         data = cvec.mask_rows(self.data, keep)
         self.data = cvec.scale_real(data, 1.0 / float(cvec.norm(data)))
@@ -344,8 +364,8 @@ class State:
             self.axpy(1.0, x)
         else:
             self.assert_initialized()
-            self.data = cvec.shift(self.data, complex(x).real,
-                                   complex(x).imag)
+            self.data = cvec.shift_n(self.data, complex(x).real,
+                                     complex(x).imag, len(self))
         return self
 
     def __add__(self, x):

@@ -47,11 +47,16 @@ def test_benchmark_subspace():
 
 def test_bench_json():
     import json
-    out = run_script([os.path.join(REPO, 'bench.py'), '8', '2'])
-    line = [l for l in out.splitlines() if l.startswith('{')][-1]
-    data = json.loads(line)
+    out = run_script([os.path.join(REPO, 'bench.py'), 'full_L8'])
+    lines = [l for l in out.splitlines() if l.startswith('{')]
+    # incremental stage line(s), then exactly one final headline line
+    data = json.loads(lines[-1])
     assert set(data) == {'metric', 'value', 'unit', 'vs_baseline'}
     assert data['value'] > 0
+    stage = json.loads(lines[0])
+    assert stage['stage'] == 'full_L8'
+    assert stage['ok'] is True
+    assert stage['ms_per_apply'] > 0
 
 
 def test_example_mbl():
