@@ -186,6 +186,9 @@ def main():
         log_call(
             lambda: H.eigsolve(nev=params.nev, target=params.target),
             stats, alt_name='do_eigsolve')()
+        from dynamite_tpu import computations
+        for k, v in computations.last_solve_stats.items():
+            stats[f'eigsolve_{k}'] = v
 
     if params.evolve:
         t = params.t
@@ -195,6 +198,12 @@ def main():
         def do_evolve():
             H.evolve(in_state, t=t, result=out_state)
         log_call(do_evolve, stats)()
+
+        # -log_view analog: per-phase breakdown and solver counters of the
+        # evolve (computations.last_solve_stats)
+        from dynamite_tpu import computations
+        for k, v in computations.last_solve_stats.items():
+            stats[f'evolve_{k}'] = v
 
     if params.mult:
         def do_mult():

@@ -45,6 +45,11 @@ class _Config:
         # apply
         self.use_ell = True
         self.ell_budget = 4 << 30  # bytes
+        # when set to a directory path, evolve()/eigsolve() are wrapped in
+        # jax.profiler traces written there (TensorBoard-loadable); the
+        # -log_view analog's counters are always collected in
+        # computations.last_solve_stats
+        self.profile_dir = None
 
     # -- one-shot initialization ------------------------------------------
 

@@ -7,6 +7,9 @@ SLEPc MFN/EPS and the C RDM kernel; here, wrappers over the JAX Krylov
 solvers in dynamite_tpu.solvers and a reshape/matmul RDM).
 """
 
+import time
+from contextlib import contextmanager
+
 import numpy as np
 
 from . import config
@@ -14,6 +17,32 @@ from .solvers.expmv import expmv, ConvergenceError, MaxIterationsError
 from .solvers.eigs import eigsolve_trlanczos, ritz_vectors
 
 DEFAULT_NCV_EVOLVE = 30
+
+#: Per-phase timing and iteration counters of the most recent evolve() /
+#: eigsolve() call — the analog of the reference's PETSc `-log_view`
+#: diagnostics (reference: docs/FAQ.rst:104-121). Keys: phase wall times
+#: (``*_s``), solver counters (substeps, matvecs, host_syncs, restarts).
+last_solve_stats = {}
+
+
+@contextmanager
+def _maybe_profile(name):
+    """Wrap a solve in a jax.profiler trace when config.profile_dir is set
+    (written as a TensorBoard-loadable trace directory)."""
+    profile_dir = getattr(config, 'profile_dir', None)
+    if profile_dir:
+        import jax
+        with jax.profiler.trace(profile_dir):
+            yield
+    else:
+        yield
+
+
+@contextmanager
+def _phase(stats, key):
+    t0 = time.perf_counter()
+    yield
+    stats[key] = stats.get(key, 0.0) + time.perf_counter() - t0
 
 
 def _state_sharding(dim, sharded):
@@ -69,7 +98,9 @@ def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
     if tol is None:
         tol = 1e-7
 
-    kernel = H.get_mat(subspaces=(state.subspace, state.subspace))
+    stats = {}
+    with _phase(stats, 'build_s'):
+        kernel = H.get_mat(subspaces=(state.subspace, state.subspace))
     sharded = kernel.should_shard(state.data)
     from .solvers.krylov import check_workspace_fits
     from .parallel.mesh import n_devices
@@ -81,13 +112,17 @@ def evolve(H, state, t, result=None, tol=None, ncv=None, algo=None,
     # for the Expokit stepping heuristic — a much tighter bound than
     # sum_t |c_t|, which overestimates ||H|| by up to the term count and
     # shrinks the initial substeps accordingly
-    anorm = H.infinity_norm(subspaces=(state.subspace, state.subspace))
+    with _phase(stats, 'norm_s'):
+        anorm = H.infinity_norm(subspaces=(state.subspace, state.subspace))
 
     scale = -1j * t
 
-    result.data = expmv(kops, state.data, scale, anorm, ncv=ncv, tol=tol,
-                        max_its=max_its)
+    with _maybe_profile('evolve'), _phase(stats, 'solve_s'):
+        result.data = expmv(kops, state.data, scale, anorm, ncv=ncv,
+                            tol=tol, max_its=max_its, stats=stats)
     result.set_initialized()
+    global last_solve_stats
+    last_solve_stats = stats
     return result
 
 
@@ -149,10 +184,14 @@ def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
     check_workspace_fits(dim, ncv, n_devices() if sharded else 1, 'eigsolve')
     kops = kernel.krylov_ops(ncv, sharded=sharded)
 
-    evals, S, V = eigsolve_trlanczos(
-        kops, dim, dtype, nev=nev, which=which, tol=tol,
-        max_restarts=max_its, sharding=_state_sharding(dim, sharded),
-        storage_dim=_storage_dim(dim, sharded))
+    stats = {}
+    with _maybe_profile('eigsolve'), _phase(stats, 'solve_s'):
+        evals, S, V = eigsolve_trlanczos(
+            kops, dim, dtype, nev=nev, which=which, tol=tol,
+            max_restarts=max_its, sharding=_state_sharding(dim, sharded),
+            storage_dim=_storage_dim(dim, sharded), stats=stats)
+    global last_solve_stats
+    last_solve_stats = stats
 
     if not getvecs:
         return np.asarray(evals, dtype=float)
@@ -291,17 +330,33 @@ def _ritz_states(H, subspace, S, V, dtype):
 
 def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
     """Rayleigh-Ritz of H within the span of the candidate states; returns
-    the nev eigenvalues closest to the target (+ vectors if requested)."""
+    the nev eigenvalues closest to the target (+ vectors if requested).
+
+    The projected matrices A = <v_i|H v_j> and B = <v_i|v_j> are computed
+    as stacked-basis matmuls in one jitted program — a single device
+    round-trip for the whole candidate set, not O(n^2) synchronized dots.
+    """
+    import jax
+    import jax.numpy as jnp
     import scipy.linalg
 
     hstates = [H.dot(v) for v in states]
     n = len(states)
-    A = np.zeros((n, n), dtype=complex)
-    B = np.zeros((n, n), dtype=complex)
-    for i in range(n):
-        for j in range(n):
-            A[i, j] = states[i].dot(hstates[j])
-            B[i, j] = states[i].dot(states[j])
+
+    @jax.jit
+    def _grams(V, W):
+        # complex Gram matrices over stacked-real bases V, W: (n, 2, dim)
+        def gram(X, Y):
+            re = X[:, 0, :] @ Y[:, 0, :].T + X[:, 1, :] @ Y[:, 1, :].T
+            im = X[:, 0, :] @ Y[:, 1, :].T - X[:, 1, :] @ Y[:, 0, :].T
+            return re, im
+        return gram(V, W), gram(V, V)
+
+    V = jnp.stack([v.data for v in states])
+    W = jnp.stack([h.data for h in hstates])
+    (Are, Aim), (Bre, Bim) = jax.device_get(_grams(V, W))
+    A = np.asarray(Are, dtype=np.float64) + 1j * np.asarray(Aim, np.float64)
+    B = np.asarray(Bre, dtype=np.float64) + 1j * np.asarray(Bim, np.float64)
     theta, C = scipy.linalg.eigh(A, B)
 
     order = np.argsort(np.abs(theta - target))[:nev]

@@ -43,7 +43,7 @@ def random_start(dim, dtype, seed=0, sharding=None, storage_dim=None):
 
 def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
                        max_restarts=None, seed=0, v0=None, sharding=None,
-                       storage_dim=None):
+                       storage_dim=None, stats=None):
     """Solve for ``nev`` eigenvalues of the Hermitian operator.
 
     Parameters
@@ -79,10 +79,15 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
         v0 = random_start(dim, dtype, seed=seed, sharding=sharding,
                           storage_dim=storage_dim)
 
+    if stats is None:
+        stats = {}
+    stats.update(restarts=0, matvecs=0, host_syncs=0)
+
     # number of Ritz pairs retained through a restart
     p = min(m - 1, max(nev + 5, (m + nev) // 2))
 
     V, alpha, beta = kops.lanczos(v0)
+    stats['matvecs'] += m
     alpha_h = np.asarray(alpha, dtype=np.float64)
     beta_h = np.asarray(beta, dtype=np.float64)
 
@@ -105,6 +110,7 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
             nconv = nev
             while nconv < m and converged[nconv]:
                 nconv += 1
+            stats['nconv'] = nconv
             return theta[:nconv], S[:, :nconv], V
 
         # ---- thick restart ----
@@ -116,6 +122,9 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
         V, alpha, beta = kops.lanczos_restarted(V, p)
         alpha_h = np.asarray(alpha, dtype=np.float64)
         beta_h = np.asarray(beta, dtype=np.float64)
+        stats['restarts'] += 1
+        stats['matvecs'] += m - p
+        stats['host_syncs'] += 2  # recombine upload + alpha/beta fetch
 
         M = np.zeros((m, m))
         M[:p, :p] = np.diag(theta[:p])

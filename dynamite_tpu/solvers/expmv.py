@@ -38,7 +38,8 @@ def initial_tstep(ncv, anorm, tol):
     return np.ceil(t / s) * s
 
 
-def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
+def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None,
+          stats=None):
     """Compute exp(scale * A) @ v.
 
     Parameters
@@ -57,6 +58,10 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
         Requested local error tolerance (per unit time, Expokit-style).
     max_its : int, optional
         Maximum number of substeps.
+    stats : dict, optional
+        Filled with solver counters: substeps, rejected_steps, matvecs,
+        host_syncs (device round-trips — each substep costs three: the
+        norm of w, the Lanczos alpha/beta fetch, and the residual norm).
 
     Returns
     -------
@@ -80,6 +85,10 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
 
     t_step = min(t_total, initial_tstep(m, max(anorm, 1e-16), tol))
 
+    if stats is None:
+        stats = {}
+    stats.update(substeps=0, rejected_steps=0, matvecs=0, host_syncs=0)
+
     w = v
     t_now = 0.0
     n_steps = 0
@@ -95,12 +104,15 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
         tau = min(t_total - t_now, t_step)
 
         beta = float(krylov.norm(w))
+        stats['host_syncs'] += 1
         if beta == 0:
             return w
 
         V, alpha, betas = kops.lanczos(w / beta)
         alpha_h = np.asarray(alpha, dtype=np.float64)
         beta_h = np.asarray(betas, dtype=np.float64)
+        stats['host_syncs'] += 1
+        stats['matvecs'] += m
 
         # detect happy breakdown: the Krylov space closed early
         tiny = max(1e-14 * max(anorm, 1.0), 1e-300)
@@ -112,6 +124,8 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
         avnorm = None
         if not happy:
             avnorm = float(kops.matvec_norm(V[m]))
+            stats['host_syncs'] += 1
+            stats['matvecs'] += 1
 
         # inner adaptive loop: shrink tau until the local error passes
         while True:
@@ -135,6 +149,7 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
 
             if err_loc <= delta * tau * tol:
                 break
+            stats['rejected_steps'] += 1
             tau_new = gamma * tau * (tau * tol / err_loc) ** (1 / m)
             if not np.isfinite(tau_new) or tau_new >= tau:
                 tau_new = tau / 2
@@ -150,6 +165,7 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None):
         w = krylov.combine(V, cr, ci)
 
         t_now += tau
+        stats['substeps'] += 1
         if not happy:
             t_step = gamma * tau * (tau * tol / err_loc) ** (1 / m)
             t_step = min(t_step, max_growth * tau)

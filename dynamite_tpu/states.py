@@ -395,34 +395,90 @@ class State:
 
     # -- save / load --------------------------------------------------------------
 
+    # elements fetched to the host per streamed save/load step: bounds the
+    # host memory of a checkpoint to ~2 * 16 bytes * this, independent of
+    # the state size (the reference streams through the PETSc binary
+    # viewer, states.py:627-701)
+    SAVE_CHUNK = 1 << 24
+
     def save(self, fname):
         """Save as ``<fname>.vec`` (raw binary re/im float64 array) plus
-        ``<fname>.metadata`` (pickled subspace)."""
+        ``<fname>.metadata`` (pickled subspace).
+
+        The vector is streamed to disk in SAVE_CHUNK-element pieces (each
+        chunk fetched to the host with one jitted slice), so host memory
+        stays bounded at any state size."""
         self.assert_initialized()
-        vec = self.to_numpy()  # gathers across hosts if needed
-        if jax.process_index() == 0:
-            with open(fname + '.metadata', 'wb') as f:
-                pickle.dump(self.subspace, f)
-            arr = np.stack([vec.real, vec.imag])
-            with open(fname + '.vec', 'wb') as f:
-                f.write(arr.tobytes())
-        # other processes must not read the file before it is written
+        dim = len(self)
+        data = self.data
+        chunk = min(self.SAVE_CHUNK, dim)
+
         from .parallel import multihost
+
+        @partial(jax.jit, static_argnums=2,
+                 out_shardings=mesh_mod.replicated(config.mesh))
+        def fetch(d, start, n):
+            return jax.lax.dynamic_slice(d, (0, start), (2, n))
+
+        f = None
+        if jax.process_index() == 0:
+            with open(fname + '.metadata', 'wb') as fm:
+                pickle.dump(self.subspace, fm)
+            f = open(fname + '.vec', 'wb')
+            f.truncate(2 * dim * 8)
+        for start in range(0, dim, chunk):
+            n = min(chunk, dim - start)
+            # dynamic_slice clamps the start so the window fits the padded
+            # storage; compensate on the host side
+            cs = min(start, data.shape[-1] - chunk) if chunk <= \
+                data.shape[-1] else 0
+            piece = np.asarray(jax.device_get(fetch(data, cs, chunk)),
+                               dtype=np.float64)
+            piece = piece[:, start - cs:start - cs + n]
+            if f is not None:
+                f.seek(start * 8)
+                f.write(piece[0].tobytes())
+                f.seek((dim + start) * 8)
+                f.write(piece[1].tobytes())
+        if f is not None:
+            f.close()
+        # other processes must not read the file before it is written
         multihost.barrier('state_save')
 
     @classmethod
     def from_file(cls, fname):
-        """Load a state saved with :meth:`save`."""
+        """Load a state saved with :meth:`save` (streamed in SAVE_CHUNK
+        pieces; host memory stays bounded)."""
         with open(fname + '.metadata', 'rb') as f:
             subspace = pickle.load(f)
-        with open(fname + '.vec', 'rb') as f:
-            arr = np.frombuffer(f.read(), dtype=np.float64)
         dim = subspace.get_dimension()
-        if arr.size != 2 * dim:
+        import os
+        if os.path.getsize(fname + '.vec') != 2 * dim * 8:
             raise RuntimeError('corrupt data encountered when loading state '
                                'from file')
+
         rtn = cls(subspace=subspace)
-        rtn.set_all_numpy(arr.reshape(2, dim)[0] + 1j * arr.reshape(2, dim)[1])
+        config._initialize()
+        sdim = mesh_mod.storage_dim(dim, config.mesh)
+        spec = mesh_mod.shard_spec(config.mesh, dim)
+        dtype = config.real_dtype
+        chunk = min(cls.SAVE_CHUNK, dim)
+
+        @partial(jax.jit, donate_argnums=0, out_shardings=spec)
+        def scatter(d, piece, start):
+            return jax.lax.dynamic_update_slice(d, piece, (0, start))
+
+        data = jax.device_put(np.zeros((2, sdim), dtype=dtype), spec)
+        mm = np.memmap(fname + '.vec', dtype=np.float64, mode='r',
+                       shape=(2, dim))
+        for start in range(0, dim, chunk):
+            n = min(chunk, dim - start)
+            piece = np.ascontiguousarray(mm[:, start:start + n],
+                                         dtype=dtype)
+            data = scatter(data, jax.device_put(piece), start)
+        del mm
+        rtn.data = data
+        rtn.set_initialized()
         return rtn
 
     # -- pretty printing ------------------------------------------------------------

@@ -550,37 +550,68 @@ class XParity(Subspace):
         return msc
 
     def convert_state(self, state):
-        """Convert a state on this subspace to its parent, or vice versa."""
+        """Convert a state on this subspace to its parent, or vice versa.
+
+        Runs on the device mesh: the complement-index map is computed with
+        the traced subspace maps and the amplitudes are scattered in one
+        jitted program — no host round-trip of the full vector (the
+        reference gathers through rank 0, subspaces.py:676-762).
+        """
+        import jax
+        import jax.numpy as jnp
+        from . import config
         from .states import State
+        from .ops.index_maps import device_map
+        from .parallel import mesh as mesh_mod
+        from .utils.hoist import hjit
 
         state.assert_initialized()
+        config._initialize()
         n_in = len(state)
         flip = (1 << self.L) - 1
+        idt = np.int32 if self.L <= 31 else np.int64
+        pmap = device_map(self.parent)
+        sector = float(self.sector)
+        invsq2 = 1.0 / np.sqrt(2)
 
         if state.subspace is self:
             # to parent: amplitude on representative c and on its complement
             out = State(subspace=self.parent)
-            vec = np.zeros(self.parent.get_dimension(), dtype=np.complex128)
-            amps = state.to_numpy()
-            reps = self.idx_to_state(np.arange(n_in))
-            comp_idx = self.parent.state_to_idx(flip ^ reps)
-            vec[:n_in] = amps
-            vec[comp_idx] = self.sector * amps
-            out.set_all_numpy(vec / np.sqrt(2))
+            pdim = self.parent.get_dimension()
+            sdim = mesh_mod.storage_dim(pdim, config.mesh)
+            spec = mesh_mod.shard_spec(config.mesh, pdim)
+
+            def to_parent(data):
+                amps = data[:, :n_in]
+                reps = pmap.i2s(jnp.arange(n_in, dtype=idt))
+                comp_idx, _ = pmap.s2i(jnp.asarray(flip, idt) ^ reps)
+                vec = jnp.zeros((2, sdim), data.dtype)
+                vec = vec.at[:, :n_in].set(amps)
+                vec = vec.at[:, comp_idx].set(sector * amps)
+                return vec * jnp.asarray(invsq2, data.dtype)
+
+            out.data = hjit(to_parent, out_shardings=spec)(state.data)
+            out.set_initialized()
             return out
 
         if state.subspace is self.parent:
             out = State(subspace=self)
-            amps = state.to_numpy()
             dim_out = n_in // 2
-            vec = np.array(amps[:dim_out], dtype=np.complex128)
-            second = self.parent.idx_to_state(
-                np.arange(dim_out, n_in, dtype=np.int64))
-            to_idx = self.state_to_idx(flip ^ second)
-            contrib = np.zeros(dim_out, dtype=np.complex128)
-            contrib[to_idx] = self.sector * amps[dim_out:]
-            vec += contrib
-            out.set_all_numpy(vec / np.sqrt(2))
+            spec = mesh_mod.shard_spec(config.mesh, dim_out)
+            sdim = mesh_mod.storage_dim(dim_out, config.mesh)
+
+            def to_child(data):
+                amps = data[:, :n_in]
+                second = pmap.i2s(
+                    jnp.arange(dim_out, n_in, dtype=idt))
+                to_idx, _ = pmap.s2i(jnp.asarray(flip, idt) ^ second)
+                vec = jnp.zeros((2, sdim), data.dtype)
+                vec = vec.at[:, :dim_out].set(amps[:, :dim_out])
+                vec = vec.at[:, to_idx].add(sector * amps[:, dim_out:])
+                return vec * jnp.asarray(invsq2, data.dtype)
+
+            out.data = hjit(to_child, out_shardings=spec)(state.data)
+            out.set_initialized()
             return out
 
         raise ValueError('subspace of input state must be this XParity '

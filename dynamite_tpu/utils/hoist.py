@@ -19,12 +19,13 @@ from functools import wraps
 import jax
 
 
-def hjit(fn, static_argnums=()):
+def hjit(fn, **jit_kwargs):
     """jit with closure-captured device arrays hoisted to arguments.
 
     The wrapped callable must be traceable (pure) like any jit target.
     Conversion is cached per (shape, dtype) signature of the positional
-    arguments, like jit's own compilation cache.
+    arguments, like jit's own compilation cache. Extra keyword arguments
+    (e.g. ``out_shardings``) are forwarded to jax.jit.
     """
     cache = {}
 
@@ -36,7 +37,7 @@ def hjit(fn, static_argnums=()):
         entry = cache.get(key)
         if entry is None:
             closed, consts = jax.closure_convert(fn, *args)
-            entry = (jax.jit(closed), consts)
+            entry = (jax.jit(closed, **jit_kwargs), consts)
             cache[key] = entry
         jf, consts = entry
         return jf(*args, *consts)
