@@ -113,6 +113,20 @@ def spinconserve_s2i(states, L, k, nchoosek):
     return out
 
 
+def parity_and(states, mask):
+    """Batch parity(state & mask) on the host — the native sign-evaluation
+    primitive (used by the numpy oracles for large batches); returns a
+    uint8 array, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    states = np.ascontiguousarray(states, dtype=np.int64)
+    out = np.empty(len(states), dtype=np.uint8)
+    lib.parity_and(_ptr(states, ctypes.c_int64), len(states),
+                   int(mask), _ptr(out, ctypes.c_uint8))
+    return out
+
+
 def spinconserve_i2s(idxs, L, k, nchoosek):
     lib = _load()
     if lib is None:

@@ -162,7 +162,8 @@ def eigsolve(H, getvecs=False, nev=1, which='lowest', target=None, tol=None,
     if target is not None:
         which = 'target'
     elif which == 'target':
-        raise ValueError("Must specify target when setting which='target'")
+        raise ValueError("which='target' requires the target "
+                         'parameter')
 
     kernel = H.get_mat(subspaces=(subspace, subspace))
     dim = subspace.get_dimension()
@@ -263,7 +264,12 @@ def _target_candidates_shift_invert(H, kernel, dim, nev_f, target, tol,
     from .solvers.krylov import KrylovOps
 
     if inner_its is None:
-        inner_its = min(2 * dim, 500)
+        # the iteration count MINRES needs scales with ||H|| / (distance of
+        # target to the spectrum edge of the gap); a low cap silently
+        # returns an inexact inverse and the outer Lanczos then converges
+        # to the wrong interior eigenvalues. MINRES exits early on its
+        # residual test, so a generous cap only costs on hard targets.
+        inner_its = min(2 * dim, 2000)
     if inner_tol is None:
         inner_tol = 1e-10 if np.dtype(dtype) == np.float64 else 1e-5
     # the outer residual tolerance lives on the (H-target)^{-1} eigenvalue
@@ -310,10 +316,19 @@ def _target_candidates_fold(H, dim, nev_f, target, tol, max_its, ncv,
     sharded = fkernel.sharded_default()
     kops = fkernel.krylov_ops(ncv, sharded=sharded)
 
+    # folding squares the condition number, so tight residuals on
+    # (H-target)^2 are unreachable; a loose outer tolerance is enough
+    # because the Rayleigh-Ritz step on H itself recovers the accuracy
+    fold_tol = tol if tol is not None else \
+        (1e-6 if np.dtype(dtype) == np.float64 else 1e-4)
+
+    scale = float(np.sum(np.abs(folded_msc['coeffs']))) \
+        if len(folded_msc) else 1.0
+
     _evals_sq, S, V = eigsolve_trlanczos(
-        kops, dim, dtype, nev=nev_f, which='lowest', tol=tol,
+        kops, dim, dtype, nev=nev_f, which='lowest', tol=fold_tol,
         max_restarts=max_its, sharding=_state_sharding(dim, sharded),
-        storage_dim=_storage_dim(dim, sharded))
+        storage_dim=_storage_dim(dim, sharded), tol_scale=scale)
     return _ritz_states(H, subspace, S, V, dtype)
 
 
@@ -329,19 +344,27 @@ def _ritz_states(H, subspace, S, V, dtype):
 
 
 def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
-    """Rayleigh-Ritz of H within the span of the candidate states; returns
-    the nev eigenvalues closest to the target (+ vectors if requested).
+    """Rayleigh-Ritz of H within span{v_i, H v_i} of the candidate states;
+    returns the nev eigenvalues closest to the target (+ vectors if
+    requested).
 
-    The projected matrices A = <v_i|H v_j> and B = <v_i|v_j> are computed
-    as stacked-basis matmuls in one jitted program — a single device
-    round-trip for the whole candidate set, not O(n^2) synchronized dots.
+    The basis is enriched with H v_i because the shift-invert/folded
+    operators have *degenerate* wanted eigenvalues whenever the target sits
+    mid-gap (the pair equidistant from it folds onto one eigenvalue), and a
+    single Lanczos sequence returns only one mixed vector per degenerate
+    level; H separates the mixture, so the enriched span contains both
+    true eigenvectors.
+
+    The projected matrices are computed as stacked-basis matmuls in one
+    jitted program — a single device round-trip for the whole candidate
+    set, not O(n^2) synchronized dots. Rank-deficiency of the enriched
+    basis is handled by a canonical-orthogonalization truncation.
     """
     import jax
     import jax.numpy as jnp
-    import scipy.linalg
 
     hstates = [H.dot(v) for v in states]
-    n = len(states)
+    h2states = [H.dot(w) for w in hstates]
 
     @jax.jit
     def _grams(V, W):
@@ -352,12 +375,24 @@ def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
             return re, im
         return gram(V, W), gram(V, V)
 
-    V = jnp.stack([v.data for v in states])
-    W = jnp.stack([h.data for h in hstates])
+    basis = states + hstates
+    hbasis = hstates + h2states
+    n = len(basis)
+    V = jnp.stack([v.data for v in basis])
+    W = jnp.stack([h.data for h in hbasis])
     (Are, Aim), (Bre, Bim) = jax.device_get(_grams(V, W))
     A = np.asarray(Are, dtype=np.float64) + 1j * np.asarray(Aim, np.float64)
     B = np.asarray(Bre, dtype=np.float64) + 1j * np.asarray(Bim, np.float64)
-    theta, C = scipy.linalg.eigh(A, B)
+
+    # canonical orthogonalization: drop the near-null directions of the
+    # (generally rank-deficient) enriched basis, then a standard Hermitian
+    # eigenproblem in the reduced space
+    s, U = np.linalg.eigh((B + B.conj().T) / 2)
+    keep = s > max(1e-10 * s.max(), 0)
+    T = U[:, keep] / np.sqrt(s[keep])
+    A_r = T.conj().T @ ((A + A.conj().T) / 2) @ T
+    theta, C_r = np.linalg.eigh((A_r + A_r.conj().T) / 2)
+    C = T @ C_r
 
     order = np.argsort(np.abs(theta - target))[:nev]
     evals = np.asarray(theta[order], dtype=float)
@@ -367,10 +402,10 @@ def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
 
     evecs = []
     for idx in order:
-        out = states[0].copy()
+        out = basis[0].copy()
         out.scale(complex(C[0, idx]))
         for i in range(1, n):
-            out.axpy(complex(C[i, idx]), states[i])
+            out.axpy(complex(C[i, idx]), basis[i])
         out.normalize()
         evecs.append(out)
     return evals, evecs

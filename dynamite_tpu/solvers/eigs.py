@@ -43,7 +43,7 @@ def random_start(dim, dtype, seed=0, sharding=None, storage_dim=None):
 
 def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
                        max_restarts=None, seed=0, v0=None, sharding=None,
-                       storage_dim=None, stats=None):
+                       storage_dim=None, stats=None, tol_scale=None):
     """Solve for ``nev`` eigenvalues of the Hermitian operator.
 
     Parameters
@@ -103,7 +103,12 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
 
         # residual estimate per Ritz pair: |beta_m * (last component)|
         resid = np.abs(beta_res * S[m - 1, :])
-        scale = np.maximum(np.abs(theta), 1e-30)
+        # convergence is relative to the eigenvalue, floored at tol_scale
+        # (callers whose wanted eigenvalues sit near zero — e.g. the folded
+        # (H-target)^2 operator — pass the spectral scale here, since a
+        # purely relative test at a near-zero eigenvalue cannot converge)
+        scale = np.maximum(np.abs(theta),
+                           tol_scale if tol_scale is not None else 1e-30)
         converged = resid <= tol * scale
 
         if np.all(converged[:nev]):

@@ -36,8 +36,8 @@ class Subspace:
         if not isinstance(other, Subspace):
             raise ValueError('Cannot compare Subspace to non-Subspace type')
         if self.L is None:
-            raise ValueError('Cannot evaluate equality of subspaces before '
-                             'setting L')
+            raise ValueError('comparing subspaces requires L to be set '
+                             'on both')
         if self.get_dimension() != other.get_dimension():
             return False
         return self.get_checksum() == other.get_checksum()
@@ -303,7 +303,7 @@ class Explicit(_ProductStateSubspace):
             self.rmap_states = np.ascontiguousarray(self.state_map[order])
 
         if np.any(self.rmap_states[1:] == self.rmap_states[:-1]):
-            raise ValueError('values in state_list must be unique')
+            raise ValueError('state_list contains duplicate states')
 
         super().__init__(L=L)
 

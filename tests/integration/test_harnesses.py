@@ -59,6 +59,19 @@ def test_bench_json():
     assert stage['ms_per_apply'] > 0
 
 
+def test_tutorial_notebook_executes(tmp_path):
+    """The tutorial notebooks run under nbconvert --execute (spot-check one
+    light one; the full set is executed when built,
+    examples/tutorial/build_notebooks.py)."""
+    import shutil
+    src = os.path.join(REPO, 'examples', 'tutorial', '2-States.ipynb')
+    dst = tmp_path / '2-States.ipynb'
+    shutil.copy(src, dst)
+    run_script(['-m', 'jupyter', 'nbconvert', '--execute', '--to',
+                'notebook', '--inplace', str(dst)],
+               cwd=os.path.join(REPO, 'examples', 'tutorial'))
+
+
 def test_example_mbl():
     out = run_script(
         [os.path.join(REPO, 'examples/scripts/mbl/run_mbl.py'),
