@@ -45,15 +45,21 @@ import subprocess
 import sys
 import time
 
-CACHE_DIR = os.environ.get('BENCH_JAX_CACHE', '/tmp/jax_bench_cache')
+# repo-local persistent compilation cache: the remote compile service has
+# minute-scale variance (cold helper init, queueing), so executables cached
+# by a previous bench run are the difference between a 20 s and a 300 s
+# stage; keeping it next to the code survives /tmp cleanup between rounds
+CACHE_DIR = os.environ.get(
+    'BENCH_JAX_CACHE',
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
 
 # (name, argv-params, timeout seconds)
 STAGES = [
-    ('full_L20', {'kind': 'full', 'L': 20, 'reps': 200}, 180),
-    ('full_L24', {'kind': 'full', 'L': 24, 'reps': 50}, 330),
-    ('spinconserve_L24', {'kind': 'spinconserve', 'L': 24, 'reps': 10}, 300),
-    ('syk_N24', {'kind': 'syk', 'L': 12, 'reps': 5}, 300),
-    ('evolve_L20', {'kind': 'evolve', 'L': 20}, 240),
+    ('full_L20', {'kind': 'full', 'L': 20, 'reps': 200}, 240),
+    ('full_L24', {'kind': 'full', 'L': 24, 'reps': 50}, 420),
+    ('spinconserve_L24', {'kind': 'spinconserve', 'L': 24, 'reps': 10}, 480),
+    ('syk_N24', {'kind': 'syk', 'L': 12, 'reps': 5}, 360),
+    ('evolve_L20', {'kind': 'evolve', 'L': 20}, 300),
 ]
 
 # selectable by name only (e.g. `python bench.py full_L8` in CI)
@@ -300,19 +306,16 @@ def main():
     signal.signal(signal.SIGTERM, emit_headline)
     signal.signal(signal.SIGINT, emit_headline)
 
-    total_budget = float(os.environ.get('BENCH_BUDGET', 1200))
+    total_budget = float(os.environ.get('BENCH_BUDGET', 1800))
     t_start = time.perf_counter()
 
     only = sys.argv[1:] if len(sys.argv) > 1 else None
 
-    stages = STAGES + (EXTRA_STAGES if only else [])
-    for name, params, stage_timeout in stages:
-        if only and name not in only:
-            continue
+    def run_one(name, params, stage_timeout, attempt):
         remaining = total_budget - (time.perf_counter() - t_start)
         if remaining < 30:
             _emit({'stage': name, 'ok': False, 'skipped': 'out of budget'})
-            continue
+            return False
         budget = min(stage_timeout, remaining)
         t0 = time.perf_counter()
         try:
@@ -331,20 +334,35 @@ def main():
                     continue
             if proc.returncode == 0 and line is not None:
                 rec = {'stage': name, 'ok': True, 'wall_s': round(wall, 2),
+                       'attempt': attempt,
                        **{k: (round(v, 3) if isinstance(v, float) else v)
                           for k, v in line.items()}}
                 results[name] = {'ok': True, 'params': params, **line}
-            else:
-                tail = (proc.stderr or proc.stdout or '').strip(
-                    ).splitlines()[-3:]
-                rec = {'stage': name, 'ok': False, 'rc': proc.returncode,
-                       'tail': ' | '.join(tail)[-300:]}
-                results[name] = {'ok': False, 'params': params}
+                _emit(rec)
+                return True
+            tail = (proc.stderr or proc.stdout or '').strip(
+                ).splitlines()[-3:]
+            rec = {'stage': name, 'ok': False, 'rc': proc.returncode,
+                   'attempt': attempt, 'tail': ' | '.join(tail)[-300:]}
         except subprocess.TimeoutExpired:
-            rec = {'stage': name, 'ok': False,
-                   'timeout_s': budget}
-            results[name] = {'ok': False, 'params': params}
+            rec = {'stage': name, 'ok': False, 'timeout_s': budget,
+                   'attempt': attempt}
+        results[name] = {'ok': False, 'params': params}
         _emit(rec)
+        return False
+
+    stages = STAGES + (EXTRA_STAGES if only else [])
+    stages = [s for s in stages if not only or s[0] in only]
+    failed = []
+    for name, params, stage_timeout in stages:
+        if not run_one(name, params, stage_timeout, attempt=1):
+            failed.append((name, params, stage_timeout))
+
+    # second chance: the remote compile service has minute-scale transient
+    # sickness; a failed stage often succeeds minutes later (and any cached
+    # executables from attempt 1 carry over)
+    for name, params, stage_timeout in failed:
+        run_one(name, params, stage_timeout, attempt=2)
 
     emit_headline()
 

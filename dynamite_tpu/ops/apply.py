@@ -541,6 +541,9 @@ class OperatorKernel:
     def _build_sharded_callable(self):
         if not self._xor_sharded_eligible:
             return self._build_sharded_general()
+        fn = self._try_pallas_sharded()
+        if fn is not None:
+            return fn
         plan = self.plan
         mesh = self.mesh
         nd = mesh.devices.size
@@ -689,6 +692,91 @@ class OperatorKernel:
 
         return jax.shard_map(local_fn, mesh=mesh,
                              in_specs=P(None, axis), out_specs=P(None, axis))
+
+    def _try_pallas_sharded(self, interpret=False):
+        """The Pallas hot kernel on each device's local block inside
+        shard_map (XOR pairs, f32, power-of-two meshes): the ppermute
+        schedule of the XLA path stays, only the local sweep changes
+        (reference bar: the distributed fast matvec,
+        bpetsc_template_2.c:713-889)."""
+        from .. import config
+        if config.precision != 'single':
+            return None
+        if not (interpret or _pallas_eligible()):
+            return None
+        from .pallas_apply import build_pallas_sharded_parts, MIN_BLOCK_BITS
+        nd = self.mesh.devices.size
+        device_bits = nd.bit_length() - 1
+        bb = min(PALLAS_BLOCK_BITS,
+                 (self.plan.dim_right.bit_length() - 1) - device_bits)
+        last_err = None
+        while bb >= MIN_BLOCK_BITS:
+            try:
+                parts = build_pallas_sharded_parts(
+                    self.plan, self.left, self.right, device_bits,
+                    block_bits=bb, interpret=interpret)
+                if parts is None:
+                    return None
+                return self._wrap_sharded_pallas(parts)
+            except Exception as e:
+                last_err = e
+                bb -= 2
+        if getattr(config, 'require_pallas', False):
+            raise last_err
+        import warnings
+        warnings.warn('sharded Pallas kernel build failed; falling back to '
+                      'the XLA sharded engine (set config.require_pallas '
+                      f'to raise instead): {last_err!r}', RuntimeWarning,
+                      stacklevel=2)
+        return None
+
+    def _wrap_sharded_pallas(self, parts):
+        from .index_maps import parity_j as _pj
+        p = parts['plan']
+        call_fn = parts['call_fn']
+        diag = parts['diag']
+        mesh = self.mesh
+        nd = mesh.devices.size
+        axis = mesh.axis_names[0]
+        local_dim = p.local_dim
+        rows_loc = local_dim >> 7
+        hi_list = p.hi_list
+        dev_masks = p.dev_masks
+        self.pallas_plan = p
+
+        def local_fn(x_local, *diag_args):
+            xv = x_local.reshape(2, rows_loc, 128)
+            srcs = {}
+            for m_hi in hi_list:
+                if m_hi == 0:
+                    srcs[0] = xv
+                else:
+                    # pairwise exchange: device me swaps its block with
+                    # me ^ m_hi over ICI
+                    srcs[m_hi] = lax.ppermute(
+                        xv, axis, [(i, i ^ m_hi) for i in range(nd)])
+            wd = None
+            if dev_masks:
+                me = lax.axis_index(axis).astype(jnp.int32)
+                wd = jnp.stack([
+                    (1 - 2 * _pj(me & jnp.asarray(m, jnp.int32))
+                     ).astype(jnp.float32)
+                    for m in dev_masks])
+            d = diag_args[0] if diag_args else None
+            y = call_fn(srcs, d, wd)
+            return y.reshape(2, local_dim)
+
+        # check_vma=False: pallas_call inside shard_map would need varying-
+        # axis annotations on its out_shape, which the single-chip builder
+        # shares; the wrapper's specs already pin the sharding
+        if diag is not None:
+            mapped = jax.shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(P(None, axis), P(None, axis, None)),
+                out_specs=P(None, axis), check_vma=False)
+            return lambda x: mapped(x, diag)
+        return jax.shard_map(local_fn, mesh=mesh, in_specs=P(None, axis),
+                             out_specs=P(None, axis), check_vma=False)
 
     def _build_sharded_ell(self, sdim_left, local_left):
         """Distributed ELL apply: tables sharded over the owned output rows,

@@ -11,15 +11,26 @@ TPU analog of the reference's cache-blocked fast matvec
 mask grouping and 64x64 sign lookup tables.
 
 Decomposition of one term  y[k] += c * (-1)^parity(k' & s_eff) * x[k ^ m]
-over the blocked index k = (block, row, lane) with B = R*128 elements:
+over the blocked index k = (device, block, row, lane) with B = R*128
+elements per block:
 
-* mask block bits  (m >> block_bits): handled by the BlockSpec index map —
-  output block i reads source block i ^ m_blk, one auto-pipelined DMA per
-  distinct m_blk ("run"), shared by every group in the run;
+* mask device bits (m >> local_bits, distributed case): handled OUTSIDE the
+  kernel by a pairwise lax.ppermute per distinct device mask — the TPU
+  analog of the reference's rank = high-bits trick
+  (bpetsc_template_2.c:781-783); the kernel receives one source operand per
+  distinct device mask;
+* mask block bits: handled by the BlockSpec index map — output block i
+  reads source block i ^ m_blk of the right source operand, one
+  auto-pipelined DMA per distinct (device-mask, m_blk) "run", shared by
+  every group in the run;
 * mask row bits: XOR permutation along sublanes — per set bit, two
   pltpu.rolls + a select (a roll by a multiple of 8 sublanes is a vreg
   renumbering, smaller shifts are sublane shuffles);
 * mask lane bits: the same roll+select construction along lanes;
+* sign device bits (distributed case): a per-term scalar
+  (-1)^parity(me & s_dev) that depends on the runtime device index — passed
+  into the kernel as a small SMEM vector of +-1 factors (one per distinct
+  device sign mask), computed by the shard_map wrapper;
 * sign block bits: a per-term *scalar* (-1)^parity(i & s_blk), computed on
   the scalar core once per block;
 * sign row/lane bits: the Walsh sign factorizes over the (row, lane) grid
@@ -93,52 +104,66 @@ def _bits(m):
 
 class _KTerm:
     """One Pauli term, decomposed for the kernel."""
-    __slots__ = ('cr', 'ci', 's_blk', 'row_col', 'lane_row')
+    __slots__ = ('cr', 'ci', 's_blk', 'row_col', 'lane_row', 'wd_idx')
 
-    def __init__(self, cr, ci, s_blk, row_col, lane_row):
+    def __init__(self, cr, ci, s_blk, row_col, lane_row, wd_idx):
         self.cr = cr            # static real coefficient (incl. const sign)
         self.ci = ci
         self.s_blk = s_blk      # sign mask over block bits (static int)
         self.row_col = row_col  # column in WrowT, or None (no row factor)
         self.lane_row = lane_row  # row in Wlane, or None (no lane factor)
+        self.wd_idx = wd_idx    # index into the runtime device-sign vector
+        #                         (distributed case), or None
 
 
 class PallasXorPlan:
-    """Host-side decomposition of an apply-plan into kernel structure."""
+    """Host-side decomposition of an apply-plan into kernel structure.
 
-    def __init__(self, plan, left, right, block_bits=None):
+    ``device_bits`` > 0 decomposes for the distributed case: the kernel
+    then operates on each device's local block of 2**(nbits - device_bits)
+    rows, mask device bits select the ppermute source operand, and sign
+    device bits index the runtime +-1 vector (see module docstring).
+    """
+
+    def __init__(self, plan, left, right, block_bits=None, device_bits=0):
         nbits = plan.dim_right.bit_length() - 1
         self.dim = plan.dim_right
         self.nbits = nbits
+        self.device_bits = device_bits
+        self.local_bits = nbits - device_bits
+        self.local_dim = 1 << self.local_bits
 
         # the passed block_bits is an upper bound; the VMEM budget can lower
         # it (many-run operators like long_range exceed the ~16 MB/core at
         # the largest block)
         if block_bits is None:
             block_bits = MAX_BLOCK_BITS
-        block_bits = min(block_bits, nbits)
+        block_bits = min(block_bits, self.local_bits)
         while (block_bits > MIN_BLOCK_BITS
-               and self._vmem_estimate(plan, block_bits) > VMEM_BUDGET):
+               and self._vmem_estimate(plan, block_bits,
+                                       self.local_bits) > VMEM_BUDGET):
             block_bits -= 1
-        self.block_bits = min(block_bits, nbits)
+        self.block_bits = min(block_bits, self.local_bits)
         B = 1 << self.block_bits
         self.B = B
         self.R = B >> LANE_BITS
-        self.n_blocks = self.dim // B
+        self.n_blocks = self.local_dim // B
 
         self._decompose(plan, left, right)
 
     @staticmethod
-    def _runs_at(plan, block_bits):
-        mblks = {g[1] >> block_bits for g in plan.groups}
-        mblks.add(0)
-        return len(mblks)
+    def _runs_at(plan, block_bits, local_bits):
+        local_mask = (1 << local_bits) - 1
+        keys = {(g[1] >> local_bits, (g[1] & local_mask) >> block_bits)
+                for g in plan.groups}
+        keys.add((0, 0))
+        return len(keys)
 
     @classmethod
-    def _vmem_estimate(cls, plan, block_bits):
+    def _vmem_estimate(cls, plan, block_bits, local_bits):
         B = 1 << block_bits
         block_bytes = 2 * B * 4          # (2, R, 128) f32
-        n_runs = cls._runs_at(plan, block_bits)
+        n_runs = cls._runs_at(plan, block_bits, local_bits)
         # the packed +-1 sign-factor tables are VMEM-resident in full: one
         # (R, ~nterms) column table and one (~nterms, 128) row table
         R = max(B >> LANE_BITS, 1)
@@ -151,11 +176,15 @@ class PallasXorPlan:
     def _decompose(self, plan, left, right):
         B, R = self.B, self.R
         bb = self.block_bits
+        lb = self.local_bits
+        local_mask = self.local_dim - 1
 
         diag_terms = []          # (cr, ci, s_eff)
-        groups = []              # (m_blk, m_row, m_lane, [_KTerm])
+        groups = []              # (m_hi, m_blk, m_row, m_lane, [_KTerm])
         wrow_cols = []           # columns of WrowT
         wlane_rows = []          # rows of Wlane
+        dev_masks = []           # distinct device sign masks (runtime +-1s)
+        dev_index = {}
         row_ids = np.arange(R)
         lane_ids = np.arange(128)
 
@@ -166,6 +195,8 @@ class PallasXorPlan:
         for m_full, perm_mask, signs, coeffs in plan.groups:
             terms = []
             is_diag_group = (perm_mask == 0) and self.use_diag
+            m_hi = perm_mask >> lb
+            m_local = perm_mask & local_mask
             for s, c in zip(signs, coeffs):
                 s_eff, const_sign = _effective_sign_mask(
                     int(s), int(m_full), left, right)
@@ -173,6 +204,13 @@ class PallasXorPlan:
                 if is_diag_group:
                     diag_terms.append((cc.real, cc.imag, s_eff))
                     continue
+                s_dev = s_eff >> lb
+                wd_idx = None
+                if s_dev:
+                    if s_dev not in dev_index:
+                        dev_index[s_dev] = len(dev_masks)
+                        dev_masks.append(s_dev)
+                    wd_idx = dev_index[s_dev]
                 s_row = (s_eff >> LANE_BITS) & (R - 1)
                 s_lane = s_eff & 127
                 row_col = None
@@ -187,26 +225,30 @@ class PallasXorPlan:
                     wlane_rows.append(
                         (1.0 - 2.0 * parity_np(lane_ids & s_lane)
                          ).astype(np.float32))
-                terms.append(_KTerm(cc.real, cc.imag, s_eff >> bb,
-                                    row_col, lane_row))
+                terms.append(_KTerm(cc.real, cc.imag,
+                                    (s_eff & local_mask) >> bb,
+                                    row_col, lane_row, wd_idx))
             if terms:
-                groups.append((perm_mask >> bb,
-                               (perm_mask >> LANE_BITS) & (R - 1),
-                               perm_mask & 127,
+                groups.append((m_hi,
+                               m_local >> bb,
+                               (m_local >> LANE_BITS) & (R - 1),
+                               m_local & 127,
                                terms))
 
         self.diag_terms = diag_terms
         self.use_diag = bool(diag_terms)
         self.has_imag_diag = any(ci != 0 for _, ci, _ in diag_terms)
+        self.dev_masks = dev_masks
 
-        # runs: groups that share a block-level source offset
-        by_blk = {}
+        # runs: groups that share a (device mask, block offset) source
+        by_run = {}
         for g in groups:
-            by_blk.setdefault(g[0], []).append(g)
+            by_run.setdefault((g[0], g[1]), []).append(g)
         if self.use_diag:
-            by_blk.setdefault(0, [])  # the diagonal reads the identity block
-        self.runs = sorted(by_blk.items())
-        self.run_index = {m_blk: i for i, (m_blk, _) in enumerate(self.runs)}
+            by_run.setdefault((0, 0), [])  # the diagonal reads the identity
+        self.runs = sorted(by_run.items())
+        self.run_index = {key: i for i, (key, _) in enumerate(self.runs)}
+        self.hi_list = sorted({key[0] for key, _ in self.runs})
 
         # packed +-1 sign-factor tables (padded to tile boundaries)
         ncol = max(len(wrow_cols), 1)
@@ -248,34 +290,35 @@ def compute_diagonal(diag_terms, dim, int_dtype, include_imag):
     return build()
 
 
-def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
-    """Returns a traceable fn (2, dim) -> (2, dim) f32 running the Pallas
-    kernel, or None if the plan is unsupported."""
+def _supported(plan):
+    """Shared eligibility guards for the Pallas builders."""
     if not plan.xor_mode or plan.dim_left != plan.dim_right:
-        return None
-    if plan.dim_right < (1 << MIN_BLOCK_BITS):
-        return None
+        return False
     if not plan.groups:
-        return None
+        return False
     if plan.int_dtype != np.int32:
-        return None  # L > 31 runs in double precision on the XLA path
+        return False  # L > 31 runs in double precision on the XLA path
     if plan.use_scan:
         # many-mask operators (SYK: ~10k mask groups) would unroll into an
         # enormous kernel body and VMEM-resident sign tables; they take the
-        # scan engine instead
-        return None
-    try:
-        p = PallasXorPlan(plan, left, right, block_bits)
-    except TypeError:
-        return None
+        # scan/ELL engines instead
+        return False
+    return True
 
-    R, B = p.R, p.B
-    n_blocks = p.n_blocks
+
+def _build_call(p, interpret):
+    """The pallas_call for a decomposed plan: returns
+    call_fn(srcs_by_hi, diag_tile_or_None, wd_or_None) -> (2, rows, 128),
+    where srcs_by_hi maps each device mask in p.hi_list to a
+    (2, local_rows, 128) array and wd is the (n_dev_masks,) runtime +-1
+    vector ((1,) dummy accepted when p.dev_masks is empty)."""
+    R = p.R
     runs = p.runs
     n_runs = len(runs)
     use_diag = p.use_diag
     diag_planes = (2 if p.has_imag_diag else 1) if use_diag else 0
-    run0 = p.run_index.get(0)
+    use_wd = bool(p.dev_masks)
+    n_wd = max(len(p.dev_masks), 1)
 
     roll = jnp.roll if interpret else pltpu.roll
 
@@ -299,6 +342,9 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
         if use_diag:
             diag_ref = refs[pos]
             pos += 1
+        if use_wd:
+            wd_ref = refs[pos]
+            pos += 1
         wrowT_ref = refs[pos]
         wlane_ref = refs[pos + 1]
         y_ref = refs[pos + 2]
@@ -310,7 +356,9 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
 
         def term_factor(t):
             """(scalar, tile-or-None): the coefficient decomposition of one
-            term; scalar folds the static coeff and the per-block sign."""
+            term; scalar folds the static coeff, the per-block sign, and
+            (distributed) the runtime device sign."""
+            wb = None
             if t.s_blk:
                 # xor-fold parity of (i & s_blk) on the scalar core
                 # (Mosaic has no scalar popcount)
@@ -318,8 +366,9 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
                 for sh in (16, 8, 4, 2, 1):
                     v = v ^ (v >> sh)
                 wb = (1 - 2 * (v & 1)).astype(jnp.float32)
-            else:
-                wb = None
+            if t.wd_idx is not None:
+                w_dev = wd_ref[t.wd_idx]
+                wb = w_dev if wb is None else wb * w_dev
             tile = None
             if t.row_col is not None:
                 tile = wrowT_ref[:, t.row_col:t.row_col + 1]
@@ -328,11 +377,11 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
                 tile = wl if tile is None else tile * wl
             return wb, tile
 
-        for m_blk, groups in runs:
-            tile_x = x_refs[p.run_index[m_blk]][...]
+        for (m_hi, m_blk), groups in runs:
+            tile_x = x_refs[p.run_index[(m_hi, m_blk)]][...]
             xr, xi = tile_x[0], tile_x[1]
 
-            if use_diag and m_blk == 0:
+            if use_diag and (m_hi, m_blk) == (0, 0):
                 d = diag_ref[...]
                 dr = d[0]
                 acc_r = acc_r + dr * xr
@@ -342,7 +391,7 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
                     acc_r = acc_r - di * xi
                     acc_i = acc_i + di * xr
 
-            for _, m_row, m_lane, terms in groups:
+            for _, _, m_row, m_lane, terms in groups:
                 if m_row or m_lane:
                     xpr = xor_perm(xr, m_row, m_lane, sel_cache)
                     xpi = xor_perm(xi, m_row, m_lane, sel_cache)
@@ -374,42 +423,109 @@ def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
         y_ref[0] = acc_r
         y_ref[1] = acc_i
 
-    # block specs over the (2, dim/128, 128) row-tiled view
+    # block specs over the (2, local_rows, 128) row-tiled view
     def _x_spec(m_blk):
         return pl.BlockSpec((2, R, 128), lambda i, mb=m_blk: (0, i ^ mb, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [_x_spec(m_blk) for m_blk, _ in runs]
-    extra_args = []
+    in_specs = [_x_spec(m_blk) for (_, m_blk), _ in runs]
     if use_diag:
-        diag = compute_diagonal(p.diag_terms, p.dim, plan.int_dtype,
-                                p.has_imag_diag)
-        diag = diag.reshape(diag_planes, p.dim >> LANE_BITS, 128)
         in_specs.append(pl.BlockSpec((diag_planes, R, 128),
                                      lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
-        extra_args.append(diag)
+    if use_wd:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    extra_args.append(jnp.asarray(p.wrowT))
-    extra_args.append(jnp.asarray(p.wlane))
-    extra_tuple = tuple(extra_args)
 
     call = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(p.n_blocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, R, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, p.dim >> LANE_BITS, 128),
+        out_shape=jax.ShapeDtypeStruct((2, p.local_dim >> LANE_BITS, 128),
                                        jnp.float32),
         interpret=interpret,
     )
 
+    wrowT = jnp.asarray(p.wrowT)
+    wlane = jnp.asarray(p.wlane)
+
+    def call_fn(srcs_by_hi, diag_tile, wd):
+        args = [srcs_by_hi[m_hi] for (m_hi, _), _ in runs]
+        if use_diag:
+            args.append(diag_tile)
+        if use_wd:
+            args.append(wd)
+        args.append(wrowT)
+        args.append(wlane)
+        return call(*args)
+
+    return call_fn
+
+
+def build_pallas_apply(plan, left, right, block_bits=None, interpret=False):
+    """Returns a traceable fn (2, dim) -> (2, dim) f32 running the
+    single-device Pallas kernel, or None if the plan is unsupported."""
+    if not _supported(plan):
+        return None
+    if plan.dim_right < (1 << MIN_BLOCK_BITS):
+        return None
+    try:
+        p = PallasXorPlan(plan, left, right, block_bits)
+    except TypeError:
+        return None
+
+    call_fn = _build_call(p, interpret)
+    if p.use_diag:
+        diag = compute_diagonal(p.diag_terms, p.dim, plan.int_dtype,
+                                p.has_imag_diag)
+        diag = diag.reshape(-1, p.dim >> LANE_BITS, 128)
+    else:
+        diag = None
+
     def apply_fn(x):
         xv = x.reshape(2, p.dim >> LANE_BITS, 128)
-        y = call(*((xv,) * n_runs + extra_tuple))
+        y = call_fn({0: xv}, diag, None)
         return y.reshape(2, p.dim)
 
     apply_fn.pallas_plan = p
     return apply_fn
+
+
+def build_pallas_sharded_parts(plan, left, right, device_bits,
+                               block_bits=None, interpret=False):
+    """Decompose for the distributed case: the kernel runs on each device's
+    local block inside shard_map, with the mask device bits handled by
+    ppermute outside (reference bar: the distributed fast path,
+    bpetsc_template_2.c:713-889).
+
+    Returns None when unsupported, else a dict with
+
+    * ``plan``: the PallasXorPlan (hi_list = device masks to ppermute,
+      dev_masks = device sign masks needing runtime +-1 factors)
+    * ``diag``: the global (planes, dim/128, 128) diagonal stream or None
+    * ``call_fn(srcs_by_hi, diag_tile, wd)``: the local kernel invocation
+      (diag_tile is this device's slice; wd the runtime +-1 vector).
+    """
+    if not _supported(plan):
+        return None
+    local_dim = plan.dim_right >> device_bits
+    if local_dim < (1 << MIN_BLOCK_BITS):
+        return None
+    try:
+        p = PallasXorPlan(plan, left, right, block_bits,
+                          device_bits=device_bits)
+    except TypeError:
+        return None
+
+    call_fn = _build_call(p, interpret)
+    if p.use_diag:
+        diag = compute_diagonal(p.diag_terms, p.dim, plan.int_dtype,
+                                p.has_imag_diag)
+        diag = diag.reshape(-1, p.dim >> LANE_BITS, 128)
+    else:
+        diag = None
+
+    return {'plan': p, 'diag': diag, 'call_fn': call_fn}
