@@ -302,6 +302,18 @@ class Operator:
         if isinstance(base_left, Full):
             return msc, base_left, base_right, True
 
+        # Parity pairs are decidable symbolically: a mask's image flips the
+        # number parity by parity(mask), so every (non-cancelling) mask must
+        # map the right sector exactly onto the left one
+        from .subspaces import Parity
+        if isinstance(base_left, Parity) and isinstance(base_right, Parity):
+            msc_r = msc_tools.combine_terms(msc)
+            masks = np.unique(msc_r['masks'])
+            from .utils.bitwise import parity as parity_np
+            want = base_left.space ^ base_right.space
+            ok = bool(np.all(parity_np(masks) == want))
+            return msc, base_left, base_right, ok
+
         return msc, base_left, base_right, None
 
     def _conserves_host(self, left, right=None):
@@ -410,25 +422,55 @@ class Operator:
         self.reduce_msc()
 
         if not subspaces[0].product_state_basis:
-            msc = subspaces[0].reduce_msc(self.msc)
+            msc, xp_ok = subspaces[0].reduce_msc(self.msc,
+                                                 check_conserves=True)
+            if not self.allow_projection and not xp_ok:
+                raise ValueError(self._projection_message())
         else:
             msc = self.msc
 
         self._check_consistent_msc(msc)
 
-        if not self.allow_projection and not self.conserves(*subspaces):
-            raise ValueError("Constructing the operator's matrix on this "
-                             'subspace yields a projection (e.g. subspace '
-                             'is not conserved by the operator). If this '
-                             'behavior is desired, set the '
-                             'Operator.allow_projection parameter to True.')
-
         if not msc_tools.is_hermitian(msc):
             raise ValueError('Building non-Hermitian matrices currently not '
                              'supported.')
 
-        self._kernels[subspaces] = OperatorKernel(
-            msc, subspaces[0], subspaces[1], mesh=config.mesh)
+        kernel = OperatorKernel(msc, subspaces[0], subspaces[1],
+                                mesh=config.mesh)
+
+        if not self.allow_projection \
+                and not self._conserves_for_build(subspaces, kernel):
+            raise ValueError(self._projection_message())
+
+        self._kernels[subspaces] = kernel
+
+    @staticmethod
+    def _projection_message():
+        return ("Constructing the operator's matrix on this subspace "
+                'yields a projection (e.g. subspace is not conserved by '
+                'the operator). If this behavior is desired, set the '
+                'Operator.allow_projection parameter to True.')
+
+    def _conserves_for_build(self, subspaces, kernel):
+        """The conservation gate of build_mat, in increasing order of cost:
+        symbolic shortcuts (Full/Parity), the ELL engine's build byproduct,
+        then the standalone device reduction."""
+        msc, base_left, base_right, early = self._conserves_prep(*subspaces)
+        if early is not None:
+            return early
+        if kernel.conserves_hint is None and (
+                kernel.mesh is None or kernel.mesh.devices.size == 1):
+            # building the local engine is work the first apply needs
+            # anyway, and the ELL build reports conservation for free
+            kernel.traceable(sharded=False)
+        if kernel.conserves_hint is not None:
+            return kernel.conserves_hint
+
+        from .ops.reductions import build_check_conserves
+        check = build_check_conserves(msc, base_left, base_right,
+                                      config.real_dtype,
+                                      self._plan_int_dtype())
+        return bool(check())
 
     @classmethod
     def _check_consistent_msc(cls, msc):

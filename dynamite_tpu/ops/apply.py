@@ -225,9 +225,15 @@ class OperatorKernel:
         self.right = right
         self.mesh = mesh
         self.pallas_plan = None  # set when the Pallas fast path is built
-        self._local_callable = self._build_local()
-        self._local_fn = hjit(self._local_callable)
-        self._sharded_callable = None  # built lazily
+        # conservation flag computed as a byproduct of the ELL table build
+        # (None when the engine in use has no cheap byproduct)
+        self.conserves_hint = None
+        # engines build lazily on first use: the ELL engine materializes
+        # device tables at build time, which a purely-sharded usage (pods)
+        # should never pay at full (unsharded) size
+        self._local_callable = None
+        self._local_fn = None
+        self._sharded_callable = None
         self._sharded_fn = None
         self._padded_local_fn = None
         self._krylov_ops = {}
@@ -241,6 +247,8 @@ class OperatorKernel:
             # padded storage (multi-device mesh) arriving on the local
             # (replicated) path: strip the pad, apply, re-pad the output
             return self.padded_local_fn(x)
+        if self._local_fn is None:
+            self._local_fn = hjit(self.traceable(sharded=False))
         return self._local_fn(x)
 
     @property
@@ -248,7 +256,7 @@ class OperatorKernel:
         if self._padded_local_fn is None:
             from ..parallel.mesh import storage_dim
             plan = self.plan
-            inner = self._local_callable
+            inner = self.traceable(sharded=False)
             sdim_left = storage_dim(plan.dim_left, self.mesh)
 
             def fn(x):
@@ -268,6 +276,8 @@ class OperatorKernel:
             if self._sharded_callable is None:
                 self._sharded_callable = self._build_sharded_callable()
             return self._sharded_callable
+        if self._local_callable is None:
+            self._local_callable = self._build_local()
         return self._local_callable
 
     def should_shard(self, x):
@@ -420,8 +430,12 @@ class OperatorKernel:
         if ell.table_bytes(plan) > ell.ell_budget():
             return None
         from .. import config
-        cols, fr, fi = ell.build_tables(plan, plan.dim_left,
-                                        config.real_dtype)
+        *tables, conserved = ell.build_tables(plan, plan.dim_left,
+                                              config.real_dtype,
+                                              with_conserves=True)
+        self.conserves_hint = bool(conserved)
+        cols, fr = tables[0], tables[1]
+        fi = tables[2] if len(tables) > 2 else None
         inner = ell.make_apply(plan.dim_left, fi is not None)
         if fi is None:
             return lambda x: inner(x, cols, fr)

@@ -92,14 +92,21 @@ def _batch(G):
     return -(-G // kb), kb
 
 
-def build_tables(plan, n_rows, real_dtype, out_shardings=None):
+def build_tables(plan, n_rows, real_dtype, out_shardings=None,
+                 with_conserves=False):
     """One jitted device pass computing the (cols, fr, fi) tables for rows
     [0, n_rows), already reshaped for the batched apply scan:
     cols (S, KB, n_rows) int, fr/fi (S, KB, n_rows) real. Rows >=
     plan.dim_left (uneven-sharding storage pad) get zero coefficients, as
     do group-batch pad slots.
 
-    Returns (cols, fr, fi_or_None).
+    ``with_conserves`` additionally returns the conservation flag — every
+    row's every non-cancelling mask image lands inside the right subspace —
+    as a byproduct of the same pass (for Hermitian operators on a square
+    pair this equals the reference's column-wise CheckConserves,
+    bpetsc_template_2.c:990-1056), saving the separate device reduction.
+
+    Returns (cols, fr, fi_or_None[, conserves_bool]).
     """
     from .apply import _iota
     from .index_maps import parity_j
@@ -111,6 +118,10 @@ def build_tables(plan, n_rows, real_dtype, out_shardings=None):
     dim_left = plan.dim_left
     S, KB = _batch(G)
     G_pad = S * KB
+    # roundoff threshold for "this row's group coefficient cancels" (exact
+    # symbolic cancellations survive as float residue, e.g. in folded
+    # operators) — relative to each chunk's coefficient scale
+    chunk_scale = (np.abs(cr_c) + np.abs(ci_c)).sum(axis=1)
     # row index of the first chunk of each group (its cols row is the
     # group's cols row; duplicates within a group are identical)
     first = np.full(G, -1, dtype=np.int64)
@@ -139,45 +150,94 @@ def build_tables(plan, n_rows, real_dtype, out_shardings=None):
                  ).astype(real_dtype)
             fr = w @ cr
             fi = w @ ci
-            col, valid = plan.right_map.s2i(bra)
+            col, sub_valid = plan.right_map.s2i(bra)
+            valid = sub_valid
             if valid_row is not None:
                 valid = valid & valid_row
             ok = valid.astype(real_dtype)
             col = jnp.where(valid, col, 0)
-            out = (col, fr * ok, fi * ok) if has_fi else (col, fr * ok)
-            return None, out
+            out = [col, fr * ok]
+            if has_fi:
+                out.append(fi * ok)
+            if with_conserves:
+                # raw (unmasked, signed) coefficients: the conservation
+                # test must see the value a row would have had outside the
+                # subspace, summed over the whole group before |.|. Storage
+                # pad rows auto-pass (they are not physical rows).
+                test_valid = sub_valid
+                if valid_row is not None:
+                    test_valid = sub_valid | ~valid_row
+                out.append(test_valid)
+                out.append(fr)
+                if has_fi:
+                    out.append(fi)
+            return None, tuple(out)
 
         _, outs = lax.scan(step, None, (masks_d, signs_d, cr_d, ci_d))
-        if has_fi:
-            cols_c, fr_ck, fi_ck = outs
-        else:
-            (cols_c, fr_ck), fi_ck = outs, None
+        outs = list(outs)
+        fi_raw_c = outs.pop() if (with_conserves and has_fi) else None
+        fr_raw_c = outs.pop() if with_conserves else None
+        valid_c = outs.pop() if with_conserves else None
+        cols_c = outs[0]
+        fr_ck = outs[1]
+        fi_ck = outs[2] if has_fi else None
 
         # consolidate chunks into per-group rows, pad to the batch grid
-        def consolidate(v):
+        def to_groups(v, take_first=False):
             if C != G:
-                v = jax.ops.segment_sum(v, jnp.asarray(gids),
-                                        num_segments=G)
+                if take_first:
+                    v = v[jnp.asarray(first)]
+                else:
+                    v = jax.ops.segment_sum(v, jnp.asarray(gids),
+                                            num_segments=G)
+            return v
+
+        def batch_pad(v):
             if G_pad != G:
                 v = jnp.pad(v, ((0, G_pad - G), (0, 0)))
             return v.reshape(S, KB, n_rows)
 
-        cols_g = cols_c if C == G else cols_c[jnp.asarray(first)]
-        if G_pad != G:
-            cols_g = jnp.pad(cols_g, ((0, G_pad - G), (0, 0)))
-        cols_g = cols_g.reshape(S, KB, n_rows)
-        fr_g = consolidate(fr_ck)
-        fi_g = consolidate(fi_ck) if has_fi else None
-        out = (cols_g, fr_g, fi_g) if has_fi else (cols_g, fr_g)
-        return out
+        cols_g = batch_pad(to_groups(cols_c, take_first=True))
+        fr_gt = to_groups(fr_ck)
+        fi_gt = to_groups(fi_ck) if has_fi else None
 
-    kwargs = {'out_shardings': out_shardings} \
-        if out_shardings is not None else {}
-    outs = jax.jit(build, **kwargs)()
-    if has_fi:
-        cols, fr, fi = outs
-    else:
-        (cols, fr), fi = outs, None
+        conserved = None
+        if with_conserves:
+            # every row of every group must either land inside the right
+            # subspace or have a (numerically) cancelling coefficient
+            gscale = np.zeros(G)
+            np.add.at(gscale, gids, chunk_scale)
+            tol = jnp.asarray(1e-12 * gscale, real_dtype)[:, None]
+            mag = jnp.abs(to_groups(fr_raw_c))
+            if has_fi:
+                mag = mag + jnp.abs(to_groups(fi_raw_c))
+            gvalid = to_groups(valid_c, take_first=True)
+            conserved = jnp.all(gvalid | (mag <= tol))
+
+        fr_g = batch_pad(fr_gt)
+        fi_g = batch_pad(fi_gt) if has_fi else None
+        out = [cols_g, fr_g]
+        if has_fi:
+            out.append(fi_g)
+        if with_conserves:
+            out.append(conserved)
+        return tuple(out)
+
+    kwargs = {}
+    if out_shardings is not None:
+        n_tables = 3 if has_fi else 2
+        specs = (out_shardings,) * n_tables
+        if with_conserves:
+            from jax.sharding import NamedSharding, PartitionSpec
+            specs = specs + (NamedSharding(out_shardings.mesh,
+                                           PartitionSpec()),)
+        kwargs['out_shardings'] = specs
+    outs = list(jax.jit(build, **kwargs)())
+    conserved = bool(outs.pop()) if with_conserves else None
+    cols, fr = outs[0], outs[1]
+    fi = outs[2] if has_fi else None
+    if with_conserves:
+        return cols, fr, fi, conserved
     return cols, fr, fi
 
 

@@ -92,7 +92,8 @@ def test_full_xor_path_matches_general():
 
     s = State(state='random', subspace=sub, seed=3)
     sharded = kernel.sharded_fn(s.data)
-    local = kernel._local_fn(jax.device_get(s.data))
+    local = jax.jit(kernel.traceable(sharded=False))(
+        jax.device_get(s.data))
     assert np.allclose(np.asarray(sharded), np.asarray(local), atol=1e-6)
 
 
