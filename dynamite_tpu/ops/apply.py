@@ -427,9 +427,28 @@ class OperatorKernel:
             return None
         if plan.xor_mode and not plan.use_scan:
             return None
+        from .. import config
+
+        # adjacent-pair SpinConserve operators take the shift-class engine:
+        # the permutation decomposes into a static roll schedule (pure
+        # streaming; a real gather on TPU runs ~1.5 GB/s)
+        schedules = ell.shift_schedule(plan, self.left, self.right)
+        if schedules is not None \
+                and ell.shift_table_bytes(plan) <= ell.ell_budget():
+            *tables, conserved = ell.build_shift_tables(
+                plan, schedules, plan.dim_left, config.real_dtype,
+                with_conserves=True)
+            self.conserves_hint = bool(conserved)
+            cls, fr = tables[0], tables[1]
+            fi = tables[2] if len(tables) > 2 else None
+            inner = ell.make_shift_apply(schedules, plan.dim_right,
+                                         fi is not None)
+            if fi is None:
+                return lambda x: inner(x, cls, fr)
+            return lambda x: inner(x, cls, fr, fi)
+
         if ell.table_bytes(plan) > ell.ell_budget():
             return None
-        from .. import config
         *tables, conserved = ell.build_tables(plan, plan.dim_left,
                                               config.real_dtype,
                                               with_conserves=True)
@@ -799,6 +818,39 @@ class OperatorKernel:
         from .. import config
         mesh = self.mesh
         axis = mesh.axis_names[0]
+
+        schedules = ell.shift_schedule(self.plan, self.left, self.right)
+        if schedules is not None \
+                and ell.shift_table_bytes(self.plan,
+                                          sdim_left) <= ell.ell_budget():
+            spec2 = NamedSharding(mesh, P(None, axis))
+            cls, fr, fi, conserved = ell.build_shift_tables(
+                self.plan, schedules, sdim_left, config.real_dtype,
+                out_shardings=spec2, with_conserves=True)
+            self.conserves_hint = bool(conserved)
+            inner = ell.make_shift_apply(schedules, self.plan.dim_right,
+                                         fi is not None,
+                                         local_rows=local_left, axis=axis)
+
+            if fi is None:
+                def local_fn(x_local, cls_l, fr_l):
+                    x = lax.all_gather(x_local, axis, axis=1, tiled=True)
+                    return inner(x, cls_l, fr_l)
+                n_tables = 2
+            else:
+                def local_fn(x_local, cls_l, fr_l, fi_l):
+                    x = lax.all_gather(x_local, axis, axis=1, tiled=True)
+                    return inner(x, cls_l, fr_l, fi_l)
+                n_tables = 3
+
+            mapped = jax.shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(P(None, axis),) + (P(None, axis),) * n_tables,
+                out_specs=P(None, axis))
+            if fi is None:
+                return lambda x: mapped(x, cls, fr)
+            return lambda x: mapped(x, cls, fr, fi)
+
         spec = NamedSharding(mesh, P(None, None, axis))
         cols, fr, fi = ell.build_tables(self.plan, sdim_left,
                                         config.real_dtype,

@@ -282,3 +282,242 @@ def make_apply(out_rows, has_fi, vary_axis=None):
         return y
 
     return apply_fn
+
+
+# --------------------------------------------------------------------------
+# Adjacent-shift engine: SpinConserve pairs whose masks act on adjacent bit
+# pairs (XX/XXZ/Heisenberg/MBL chains — the workhorse models). For the mask
+# m = 3 << i on a fixed-popcount ranking, the column offset col - row takes
+# only the values +-C(i, t) with t = popcount(state below bit i): moving
+# the 1 from bit i to bit i+1 raises the rank by C(i+1, t+1) - C(i, t+1)
+# = C(i, t). The gather therefore decomposes into a STATIC schedule of
+# rolls with class-masked FMAs — pure streaming VPU work, where a real
+# gather on TPU runs at ~1.5 GB/s (measured: 350 ms/apply at L=24).
+# --------------------------------------------------------------------------
+
+SHIFT_INVALID = 127  # class code for rows the mask maps outside the sector
+
+
+def shift_schedule(plan, left, right):
+    """The static (per-group class -> roll offset) schedule, or None when
+    the plan is not an adjacent-pair SpinConserve operator."""
+    from .. import subspaces as sp
+    if not (isinstance(left, sp.SpinConserve)
+            and isinstance(right, sp.SpinConserve)):
+        return None
+    if left.L != right.L or left.k != right.k:
+        return None
+    L, k = left.L, left.k
+    if k < 1 or k > L - 1:
+        return None
+    nck = left.nchoosek  # nck[kk, n] = C(n, kk)
+
+    schedules = []
+    for m, _perm, _signs, _coeffs in plan.groups:
+        m = int(m)
+        if m == 0:
+            schedules.append((None, [(0, 0)]))  # diagonal: one class, d=0
+            continue
+        # exactly two set bits, adjacent
+        i = (m & -m).bit_length() - 1
+        if m != (3 << i) or i + 1 >= L:
+            return None
+        t_lo = max(0, k - 1 - (L - i - 2))
+        t_hi = min(i, k - 1)
+        sched = []
+        for t in range(t_lo, t_hi + 1):
+            d = int(nck[t, i]) if t <= k else 0  # C(i, t)
+            sched.append((2 * t, +d))
+            sched.append((2 * t + 1, -d))
+        if 2 * t_hi + 1 >= SHIFT_INVALID:
+            return None  # class code must fit the int8 table
+        schedules.append((i, sched))
+    return schedules
+
+
+def shift_table_bytes(plan, storage_rows=None):
+    rows = storage_rows if storage_rows is not None else plan.dim_left
+    # one int8 class id + one or two f32 coefficients per (row, group)
+    return len(plan.groups) * rows * (1 + 4 + 4)
+
+
+def build_shift_tables(plan, schedules, n_rows, real_dtype,
+                       out_shardings=None, with_conserves=False):
+    """One jitted device pass: per-group class-id tables (int8) and the
+    consolidated Walsh coefficient tables. Returns
+    (cls (G, n_rows) int8, fr, fi_or_None[, conserved])."""
+    from .apply import _iota
+    from .index_maps import parity_j
+
+    masks_c, signs_c, cr_c, ci_c, gids, G = chunk_groups(plan.groups)
+    C = len(masks_c)
+    has_fi = bool(np.any(ci_c != 0))
+    idt = plan.int_dtype
+    dim_left = plan.dim_left
+    chunk_scale = (np.abs(cr_c) + np.abs(ci_c)).sum(axis=1)
+    first = np.full(G, -1, dtype=np.int64)
+    for c, g in enumerate(gids):
+        if first[g] < 0:
+            first[g] = c
+
+    def build():
+        rows = _iota(n_rows, idt)
+        if n_rows != dim_left:
+            valid_row = rows < dim_left
+            rows = jnp.minimum(rows, dim_left - 1)
+        else:
+            valid_row = None
+        row_states = plan.row_states(rows)
+
+        masks_d = jnp.asarray(masks_c, idt)
+        signs_d = jnp.asarray(signs_c, idt)
+        cr_d = jnp.asarray(cr_c, real_dtype)
+        ci_d = jnp.asarray(ci_c, real_dtype)
+
+        # class-id tables per GROUP (static python loop: G is small for
+        # chain models)
+        cls_list = []
+        for bit, _sched in schedules:
+            if bit is None:
+                cls = jnp.zeros(n_rows, jnp.int8)
+                if valid_row is not None:
+                    cls = jnp.where(valid_row, cls,
+                                    jnp.int8(SHIFT_INVALID))
+            else:
+                below = lax.population_count(
+                    row_states & jnp.asarray((1 << bit) - 1, idt)
+                ).astype(jnp.int32)
+                b_i = (row_states >> bit) & 1
+                b_j = (row_states >> (bit + 1)) & 1
+                up = (b_i == 1) & (b_j == 0)
+                down = (b_i == 0) & (b_j == 1)
+                cls = jnp.where(
+                    up, 2 * below,
+                    jnp.where(down, 2 * below + 1, SHIFT_INVALID)
+                ).astype(jnp.int8)
+                if valid_row is not None:
+                    cls = jnp.where(valid_row, cls,
+                                    jnp.int8(SHIFT_INVALID))
+            cls_list.append(cls)
+        cls_g = jnp.stack(cls_list)
+
+        def step(_, args):
+            m, signs, cr, ci = args
+            bra = row_states ^ m
+            w = (1 - 2 * parity_j(bra[:, None] & signs[None, :])
+                 ).astype(real_dtype)
+            out = [w @ cr]
+            if has_fi:
+                out.append(w @ ci)
+            return None, tuple(out)
+
+        _, outs = lax.scan(step, None, (masks_d, signs_d, cr_d, ci_d))
+
+        def to_groups(v):
+            if C != G:
+                v = jax.ops.segment_sum(v, jnp.asarray(gids),
+                                        num_segments=G)
+            return v
+
+        fr_g = to_groups(outs[0])
+        fi_g = to_groups(outs[1]) if has_fi else None
+
+        conserved = None
+        if with_conserves:
+            gscale = np.zeros(G)
+            np.add.at(gscale, gids, chunk_scale)
+            tol = jnp.asarray(1e-12 * gscale, real_dtype)[:, None]
+            mag = jnp.abs(fr_g)
+            if has_fi:
+                mag = mag + jnp.abs(fi_g)
+            invalid = cls_g == SHIFT_INVALID
+            if valid_row is not None:
+                invalid = invalid & valid_row[None, :]  # pad rows exempt
+            conserved = jnp.all(~invalid | (mag <= tol))
+
+        # zero the coefficients of invalid (and pad) rows so the apply
+        # needs no separate mask
+        ok = (cls_g != SHIFT_INVALID).astype(real_dtype)
+        if valid_row is not None:
+            ok = ok * valid_row[None, :].astype(real_dtype)
+        fr_g = fr_g * ok
+        if has_fi:
+            fi_g = fi_g * ok
+
+        out = [cls_g, fr_g]
+        if has_fi:
+            out.append(fi_g)
+        if with_conserves:
+            out.append(conserved)
+        return tuple(out)
+
+    kwargs = {}
+    if out_shardings is not None:
+        n_tables = 3 if has_fi else 2
+        specs = (out_shardings,) * n_tables
+        if with_conserves:
+            from jax.sharding import NamedSharding, PartitionSpec
+            specs = specs + (NamedSharding(out_shardings.mesh,
+                                           PartitionSpec()),)
+        kwargs['out_shardings'] = specs
+    outs = list(jax.jit(build, **kwargs)())
+    conserved = bool(outs.pop()) if with_conserves else None
+    cls, fr = outs[0], outs[1]
+    fi = outs[2] if has_fi else None
+    if with_conserves:
+        return cls, fr, fi, conserved
+    return cls, fr, fi
+
+
+def make_shift_apply(schedules, dim_right, has_fi, local_rows=None,
+                     axis=None):
+    """The traceable shift-class apply: apply(x, cls, fr[, fi]) -> y.
+
+    Per (group, class): one roll of the state by the static offset and one
+    class-masked FMA — all streaming ops. When ``local_rows``/``axis`` are
+    given the function runs inside shard_map: x is the full gathered
+    (padded) vector, the tables hold only this device's rows, and each
+    rolled stream is sliced at the device's row offset.
+    """
+    def apply_fn(x, cls, fr, fi=None):
+        dtype = x.dtype
+        sharded = local_rows is not None
+        if sharded:
+            xg = x[:, :dim_right]
+            me = lax.axis_index(axis)
+            sdim = x.shape[-1]
+            out_rows = local_rows
+        else:
+            xg = x
+            out_rows = dim_right
+        yr = jnp.zeros(out_rows, dtype)
+        yi = jnp.zeros(out_rows, dtype)
+
+        def shifted(d):
+            xs = xg if d == 0 else jnp.roll(xg, -d, axis=1)
+            if sharded:
+                if sdim != dim_right:
+                    xs = jnp.pad(xs, ((0, 0), (0, sdim - dim_right)))
+                zero = jnp.zeros((), me.dtype)
+                xs = lax.dynamic_slice(
+                    xs, (zero, me * jnp.asarray(local_rows, me.dtype)),
+                    (2, local_rows))
+            return xs
+
+        for g, (_bit, sched) in enumerate(schedules):
+            c = cls[g]
+            f_r = fr[g]
+            f_i = fi[g] if fi is not None else None
+            for code, d in sched:
+                sel = (c == code).astype(dtype)
+                xs = shifted(d)
+                fr_sel = f_r * sel
+                yr = yr + fr_sel * xs[0]
+                yi = yi + fr_sel * xs[1]
+                if f_i is not None:
+                    fi_sel = f_i * sel
+                    yr = yr - fi_sel * xs[1]
+                    yi = yi + fi_sel * xs[0]
+        return jnp.stack([yr, yi])
+
+    return apply_fn
