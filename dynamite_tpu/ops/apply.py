@@ -435,14 +435,19 @@ class OperatorKernel:
         schedules = ell.shift_schedule(plan, self.left, self.right)
         if schedules is not None \
                 and ell.shift_table_bytes(plan) <= ell.ell_budget():
-            *tables, conserved = ell.build_shift_tables(
-                plan, schedules, plan.dim_left, config.real_dtype,
+            # tables padded to the chunk grid of the chunked apply
+            C = 1 << ell.SHIFT_CHUNK_BITS
+            n_rows = plan.dim_left if plan.dim_left <= C \
+                else -(-plan.dim_left // C) * C
+            *tables, fconst, conserved = ell.build_shift_tables(
+                plan, schedules, n_rows, config.real_dtype,
                 with_conserves=True)
             self.conserves_hint = bool(conserved)
             cls, fr = tables[0], tables[1]
             fi = tables[2] if len(tables) > 2 else None
             inner = ell.make_shift_apply(schedules, plan.dim_right,
-                                         fi is not None)
+                                         fi is not None, fconst=fconst,
+                                         n_rows=n_rows)
             if fi is None:
                 return lambda x: inner(x, cls, fr)
             return lambda x: inner(x, cls, fr, fi)
@@ -824,13 +829,14 @@ class OperatorKernel:
                 and ell.shift_table_bytes(self.plan,
                                           sdim_left) <= ell.ell_budget():
             spec2 = NamedSharding(mesh, P(None, axis))
-            cls, fr, fi, conserved = ell.build_shift_tables(
+            cls, fr, fi, fconst, conserved = ell.build_shift_tables(
                 self.plan, schedules, sdim_left, config.real_dtype,
                 out_shardings=spec2, with_conserves=True)
             self.conserves_hint = bool(conserved)
             inner = ell.make_shift_apply(schedules, self.plan.dim_right,
                                          fi is not None,
-                                         local_rows=local_left, axis=axis)
+                                         local_rows=local_left, axis=axis,
+                                         fconst=fconst)
 
             if fi is None:
                 def local_fn(x_local, cls_l, fr_l):

@@ -435,11 +435,25 @@ def build_shift_tables(plan, schedules, n_rows, real_dtype,
                 invalid = invalid & valid_row[None, :]  # pad rows exempt
             conserved = jnp.all(~invalid | (mag <= tol))
 
+        # per-group constancy of the coefficient over its valid rows: for
+        # XX/YY chains the off-diagonal Walsh factor is the same on every
+        # allowed transition, so the apply can fold it into a static scalar
+        # and skip the whole F stream
+        validg = cls_g != SHIFT_INVALID
+        if valid_row is not None:
+            validg = validg & valid_row[None, :]
+        big = jnp.asarray(np.finfo(np.dtype(real_dtype)).max, real_dtype)
+        fmax = jnp.max(jnp.where(validg, fr_g, -big), axis=1)
+        fmin = jnp.min(jnp.where(validg, fr_g, big), axis=1)
+        if has_fi:
+            gmax = jnp.max(jnp.where(validg, fi_g, -big), axis=1)
+            gmin = jnp.min(jnp.where(validg, fi_g, big), axis=1)
+        else:
+            gmax = gmin = jnp.zeros_like(fmax)
+
         # zero the coefficients of invalid (and pad) rows so the apply
         # needs no separate mask
-        ok = (cls_g != SHIFT_INVALID).astype(real_dtype)
-        if valid_row is not None:
-            ok = ok * valid_row[None, :].astype(real_dtype)
+        ok = validg.astype(real_dtype)
         fr_g = fr_g * ok
         if has_fi:
             fi_g = fi_g * ok
@@ -447,77 +461,168 @@ def build_shift_tables(plan, schedules, n_rows, real_dtype,
         out = [cls_g, fr_g]
         if has_fi:
             out.append(fi_g)
+        out.append(jnp.stack([fmax, fmin, gmax, gmin]))
         if with_conserves:
             out.append(conserved)
         return tuple(out)
 
     kwargs = {}
     if out_shardings is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(out_shardings.mesh, PartitionSpec())
         n_tables = 3 if has_fi else 2
-        specs = (out_shardings,) * n_tables
+        specs = (out_shardings,) * n_tables + (repl,)
         if with_conserves:
-            from jax.sharding import NamedSharding, PartitionSpec
-            specs = specs + (NamedSharding(out_shardings.mesh,
-                                           PartitionSpec()),)
+            specs = specs + (repl,)
         kwargs['out_shardings'] = specs
     outs = list(jax.jit(build, **kwargs)())
     conserved = bool(outs.pop()) if with_conserves else None
+    stats = np.asarray(outs.pop(), dtype=np.float64)  # (4, G) minmax
     cls, fr = outs[0], outs[1]
     fi = outs[2] if has_fi else None
+
+    # static per-group constant coefficients (or None): constancy needs the
+    # spread small relative to the magnitude
+    fconst = []
+    for g in range(stats.shape[1]):
+        fmax, fmin, gmax, gmin = stats[:, g]
+        if fmax < fmin:  # no valid rows at all
+            fconst.append((0.0, 0.0))
+            continue
+        scale = max(abs(fmax), abs(fmin), abs(gmax), abs(gmin), 1e-300)
+        if (fmax - fmin) <= 1e-12 * scale and \
+                (gmax - gmin) <= 1e-12 * scale:
+            fconst.append((float(fmax), float(gmax)))
+        else:
+            fconst.append(None)
+
+    # on multi-host meshes the constancy decision must agree everywhere
+    # (it is derived from device data); it does, deterministically, since
+    # every process computes the same global reduction.
     if with_conserves:
-        return cls, fr, fi, conserved
-    return cls, fr, fi
+        return cls, fr, fi, fconst, conserved
+    return cls, fr, fi, fconst
+
+
+# row-chunk size of the chunked shift apply (the same fusion-cliff
+# avoidance as apply._build_local_chunked)
+SHIFT_CHUNK_BITS = 20
+
+
+def _shift_sweep(xs_fn, cls_rows, fr_rows, fi_rows, fconst, schedules,
+                 dtype):
+    """The class sweep shared by the shift-apply variants: xs_fn(d) yields
+    the d-shifted state window aligned with the table rows."""
+    shape = cls_rows[0].shape
+    yr = jnp.zeros(shape, dtype)
+    yi = jnp.zeros(shape, dtype)
+    for g, (_bit, sched) in enumerate(schedules):
+        c = cls_rows[g]
+        const = fconst[g] if fconst is not None else None
+        f_r = None if const is not None else fr_rows[g]
+        f_i = None if (const is not None or fi_rows is None) \
+            else fi_rows[g]
+        for code, d in sched:
+            sel = (c == code).astype(dtype)
+            xs = xs_fn(d)
+            if const is not None:
+                cr, ci = const
+                if cr != 0:
+                    yr = yr + (cr * sel) * xs[0]
+                    yi = yi + (cr * sel) * xs[1]
+                if ci != 0:
+                    yr = yr - (ci * sel) * xs[1]
+                    yi = yi + (ci * sel) * xs[0]
+                continue
+            fr_sel = f_r * sel
+            yr = yr + fr_sel * xs[0]
+            yi = yi + fr_sel * xs[1]
+            if f_i is not None:
+                fi_sel = f_i * sel
+                yr = yr - fi_sel * xs[1]
+                yi = yi + fi_sel * xs[0]
+    return jnp.stack([yr, yi])
 
 
 def make_shift_apply(schedules, dim_right, has_fi, local_rows=None,
-                     axis=None):
+                     axis=None, fconst=None, n_rows=None):
     """The traceable shift-class apply: apply(x, cls, fr[, fi]) -> y.
 
-    Per (group, class): one roll of the state by the static offset and one
-    class-masked FMA — all streaming ops. When ``local_rows``/``axis`` are
-    given the function runs inside shard_map: x is the full gathered
-    (padded) vector, the tables hold only this device's rows, and each
-    rolled stream is sliced at the device's row offset.
+    Per (group, class): one shifted read of the state at the static offset
+    and one class-masked FMA — all streaming ops. Groups with a constant
+    coefficient (``fconst[g]`` set) skip the F stream entirely.
+
+    Local variant: rows are processed in SHIFT_CHUNK-sized pieces; each
+    shifted read is then a contiguous slice of a padded copy of x, which
+    XLA fuses into the chunk body instead of materializing one full-size
+    rolled array per class. ``n_rows`` is the (padded) table length.
+
+    Sharded variant (``local_rows``/``axis`` given): runs inside
+    shard_map — x is the full gathered (padded) vector, the tables hold
+    only this device's rows, and each rolled stream is sliced at the
+    device's row offset.
     """
+    max_d = max((abs(d) for _b, sched in schedules for _c, d in sched),
+                default=0)
+
     def apply_fn(x, cls, fr, fi=None):
         dtype = x.dtype
-        sharded = local_rows is not None
-        if sharded:
+        if local_rows is not None:
+            # sharded: full gathered x, local table rows
             xg = x[:, :dim_right]
             me = lax.axis_index(axis)
             sdim = x.shape[-1]
-            out_rows = local_rows
-        else:
-            xg = x
-            out_rows = dim_right
-        yr = jnp.zeros(out_rows, dtype)
-        yi = jnp.zeros(out_rows, dtype)
 
-        def shifted(d):
-            xs = xg if d == 0 else jnp.roll(xg, -d, axis=1)
-            if sharded:
+            def shifted(d):
+                xs = xg if d == 0 else jnp.roll(xg, -d, axis=1)
                 if sdim != dim_right:
                     xs = jnp.pad(xs, ((0, 0), (0, sdim - dim_right)))
                 zero = jnp.zeros((), me.dtype)
-                xs = lax.dynamic_slice(
+                return lax.dynamic_slice(
                     xs, (zero, me * jnp.asarray(local_rows, me.dtype)),
                     (2, local_rows))
-            return xs
 
-        for g, (_bit, sched) in enumerate(schedules):
-            c = cls[g]
-            f_r = fr[g]
-            f_i = fi[g] if fi is not None else None
-            for code, d in sched:
-                sel = (c == code).astype(dtype)
-                xs = shifted(d)
-                fr_sel = f_r * sel
-                yr = yr + fr_sel * xs[0]
-                yi = yi + fr_sel * xs[1]
-                if f_i is not None:
-                    fi_sel = f_i * sel
-                    yr = yr - fi_sel * xs[1]
-                    yi = yi + fi_sel * xs[0]
-        return jnp.stack([yr, yi])
+            return _shift_sweep(shifted, cls, fr, fi, fconst, schedules,
+                                dtype)
+
+        rows = n_rows if n_rows is not None else dim_right
+        C = min(1 << SHIFT_CHUNK_BITS, rows)
+        n_chunks = rows // C
+        if n_chunks <= 1:
+            def shifted(d):
+                xs = x if d == 0 else jnp.roll(x, -d, axis=1)
+                if rows != dim_right:
+                    xs = jnp.pad(xs, ((0, 0), (0, rows - dim_right)))
+                return xs
+            y = _shift_sweep(shifted, cls, fr, fi, fconst, schedules,
+                             dtype)
+            return y[:, :dim_right]
+
+        # chunked: pad x so every shifted window is a plain slice
+        xpad = jnp.pad(x, ((0, 0), (max_d, max_d + rows - dim_right)))
+
+        def body(c, _):
+            base = c * jnp.asarray(C, jnp.int32)
+            zero = jnp.zeros((), jnp.int32)
+
+            def shifted(d):
+                return lax.dynamic_slice(
+                    xpad, (zero, base + jnp.asarray(d + max_d, jnp.int32)),
+                    (2, C))
+
+            cls_c = [lax.dynamic_slice(cls[g], (base,), (C,))
+                     for g in range(len(schedules))]
+            fr_c = [lax.dynamic_slice(fr[g], (base,), (C,))
+                    for g in range(len(schedules))]
+            fi_c = None if fi is None else \
+                [lax.dynamic_slice(fi[g], (base,), (C,))
+                 for g in range(len(schedules))]
+            y = _shift_sweep(shifted, cls_c, fr_c, fi_c, fconst,
+                             schedules, dtype)
+            return c + 1, y
+
+        _, ys = lax.scan(body, jnp.asarray(0, jnp.int32), None,
+                         length=n_chunks)
+        return jnp.moveaxis(ys, 0, 1).reshape(2, rows)[:, :dim_right]
 
     return apply_fn
