@@ -166,3 +166,34 @@ def test_expectation():
     s = State(state='random', seed=5, subspace=Full(L=L))
     expected = np.vdot(s.to_numpy(), H.to_numpy() @ s.to_numpy()).real
     assert abs(H.expectation(s) - expected) < 1e-10
+
+
+def test_shift_engine_chunked_branch(monkeypatch):
+    """The chunked variant of the adjacent-shift apply (row chunks +
+    padded-slice reads) — only reachable at L>=21 with the production
+    chunk size, so exercise it with a tiny chunk."""
+    from dynamite_tpu.ops import ell
+    from dynamite_tpu.subspaces import SpinConserve
+    from dynamite_tpu.states import State
+
+    monkeypatch.setattr(ell, 'SHIFT_CHUNK_BITS', 6)
+
+    L = 12
+    H = models.localized(L)
+    sub = SpinConserve(L, L // 2)   # C(12,6)=924: 15 chunks of 64 (padded)
+    H.add_subspace(sub)
+    kernel = H.get_mat(subspaces=(sub, sub))
+    # the local engine must be the shift engine's chunked path
+    fn = kernel.traceable(sharded=False)
+
+    rng = np.random.RandomState(5)
+    dim = sub.get_dimension()
+    x = rng.standard_normal((2, dim)).astype(np.float64)
+    x /= np.linalg.norm(x)
+    import jax
+    import jax.numpy as jnp
+    got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    H_np = H.to_numpy(subspaces=(sub, sub))
+    want = H_np @ (x[0] + 1j * x[1])
+    err = np.max(np.abs((got[0] + 1j * got[1]) - want))
+    assert err < 1e-10, err
