@@ -262,10 +262,20 @@ KINDS = {
 }
 
 
+def _enable_compile_cache():
+    """The interpreter imports jax at startup (site hook), so env vars set
+    here are too late for jax's config — set it directly."""
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', CACHE_DIR)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:
+        pass
+
+
 def run_stage_child(params_json):
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', CACHE_DIR)
-    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
-    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+    _enable_compile_cache()
     params = json.loads(params_json)
     result = KINDS[params['kind']](params)
     _emit(result)
@@ -294,6 +304,11 @@ def _headline(results):
 
 
 def main():
+    # exported so stage children see them at interpreter startup too
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', CACHE_DIR)
+    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+    os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS',
+                          '0.5')
     results = {}
     done = {'emitted': False}
 
