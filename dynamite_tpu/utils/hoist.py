@@ -81,4 +81,5 @@ def hjit(fn, **jit_kwargs):
         flat_args = jax.tree_util.tree_leaves(args)
         return jf(hoisted, *flat_args)
 
+    wrapper._hjit_cache = cache  # introspection for tests
     return wrapper
