@@ -55,16 +55,26 @@ CACHE_DIR = os.environ.get(
 
 # (name, argv-params, timeout seconds)
 STAGES = [
-    ('full_L20', {'kind': 'full', 'L': 20, 'reps': 200}, 240),
+    # 420 s: the L=20 compile alone was measured near 300 s cold (the
+    # round-3 240 s budget lost the stage twice); warm-cache runs take
+    # seconds
+    ('full_L20', {'kind': 'full', 'L': 20, 'reps': 200}, 420),
     ('full_L24', {'kind': 'full', 'L': 24, 'reps': 50}, 420),
-    ('spinconserve_L24', {'kind': 'spinconserve', 'L': 24, 'reps': 10}, 480),
-    ('syk_N24', {'kind': 'syk', 'L': 12, 'reps': 5}, 360),
+    ('spinconserve_L24', {'kind': 'spinconserve', 'L': 24, 'reps': 50}, 480),
+    # SYK at representative scale: N=32 Majoranas (35,960 terms), the
+    # XOR-dense channel engine with tables resident
+    ('syk_N32', {'kind': 'syk', 'L': 16, 'reps': 10}, 420),
     ('evolve_L20', {'kind': 'evolve', 'L': 20}, 300),
+    # double precision on hardware: Lanczos ground state + device residual
+    ('double_L18', {'kind': 'double_eig', 'L': 18}, 420),
 ]
 
 # selectable by name only (e.g. `python bench.py full_L8` in CI)
 EXTRA_STAGES = [
     ('full_L8', {'kind': 'full', 'L': 8, 'reps': 2}, 120),
+    ('syk_N36', {'kind': 'syk', 'L': 18, 'reps': 3}, 600),
+    ('spinconserve_L28', {'kind': 'spinconserve', 'L': 28, 'reps': 20},
+     600),
 ]
 
 BASELINE = 1e10  # see module docstring
@@ -80,17 +90,26 @@ def _emit(obj):
 
 def _timed_loop(fn, x, reps):
     """Chain `reps` applications of fn inside one jitted loop; time the
-    second call (the first compiles + warms up)."""
+    second call (the first compiles + warms up). Also splits the one-time
+    cost into trace time (jaxpr construction, a pure-Python cost) vs the
+    rest (XLA/Mosaic compile, incl. any remote compile service), so the
+    compile-latency budget is attributable."""
+    import jax
     import jax.numpy as jnp
     from jax import lax
     from dynamite_tpu.utils.hoist import hjit
 
-    # hjit, not jit: ELL-engine kernels capture large device tables that
-    # must be hoisted to runtime args, not inlined as MLIR constants
-    @hjit
-    def loop(v):
+    def body(v):
         v = lax.fori_loop(0, reps, lambda i, w: fn(w), v)
         return jnp.sum(v * v)
+
+    t0 = time.perf_counter()
+    jax.make_jaxpr(body)(x)
+    trace_s = time.perf_counter() - t0
+
+    # hjit, not jit: ELL-engine kernels capture large device tables that
+    # must be hoisted to runtime args, not inlined as MLIR constants
+    loop = hjit(body)
 
     t0 = time.perf_counter()
     chk = float(loop(x))
@@ -99,7 +118,7 @@ def _timed_loop(fn, x, reps):
     chk = float(loop(x))
     elapsed = time.perf_counter() - t0
     assert chk == chk  # finite, not NaN
-    return elapsed, compile_s
+    return elapsed, compile_s, trace_s
 
 
 def _random_state(dim, dtype):
@@ -136,7 +155,7 @@ def stage_full(L, reps):
 
     dim = 1 << L
     x = _random_state(dim, jnp.float32)
-    elapsed, compile_s = _timed_loop(fn, x, reps)
+    elapsed, compile_s, trace_s = _timed_loop(fn, x, reps)
 
     nnz = dim * H.nnz
     per_apply = elapsed / reps
@@ -144,6 +163,7 @@ def stage_full(L, reps):
         'nnz_per_sec': nnz * reps / elapsed,
         'ms_per_apply': per_apply * 1e3,
         'compile_s': compile_s,
+        'trace_s': trace_s,
         'nnz_per_row': H.nnz,
         'dim': dim,
     }
@@ -159,8 +179,8 @@ def stage_full(L, reps):
 
 
 def stage_spinconserve(L, reps):
-    """SpinConserve (half filling) matvec: the general gather path with the
-    combinatorial-ranking index map fused in."""
+    """SpinConserve (half filling) matvec: the sector-blocked MXU engine
+    (dense per-sector matmuls; ops/sector_apply.py)."""
     import jax.numpy as jnp
     from dynamite_tpu import config
     from dynamite_tpu.models import heisenberg
@@ -178,18 +198,26 @@ def stage_spinconserve(L, reps):
 
     dim = sub.get_dimension()
     x = _random_state(dim, jnp.float32)
-    elapsed, compile_s = _timed_loop(fn, x, reps)
+    elapsed, compile_s, trace_s = _timed_loop(fn, x, reps)
     nnz = dim * H.nnz
-    return {
+    result = {
         'nnz_per_sec': nnz * reps / elapsed,
         'ms_per_apply': elapsed / reps * 1e3,
         'compile_s': compile_s,
+        'trace_s': trace_s,
         'dim': dim,
     }
+    sp = kernel.sector_plan
+    if sp is not None:
+        result['engine'] = 'sector'
+        result['sector_channels'] = sp.n_channels
+        result['sector_table_mb'] = round(sp.table_bytes / 1e6, 2)
+    return result
 
 
 def stage_syk(L, reps):
-    """SYK with 2L Majorana modes: many mask groups -> the scan path."""
+    """SYK with 2L Majorana modes: many mask groups -> the XOR-blocked
+    dense channel engine (ops/xor_dense.py)."""
     import jax.numpy as jnp
     from dynamite_tpu import config
     from dynamite_tpu.models import syk
@@ -207,14 +235,59 @@ def stage_syk(L, reps):
 
     dim = sub.get_dimension()
     x = _random_state(dim, jnp.float32)
-    elapsed, compile_s = _timed_loop(fn, x, reps)
+    elapsed, compile_s, trace_s = _timed_loop(fn, x, reps)
     nnz = dim * H.nnz
-    return {
+    result = {
         'nnz_per_sec': nnz * reps / elapsed,
         'ms_per_apply': elapsed / reps * 1e3,
         'compile_s': compile_s,
+        'trace_s': trace_s,
         'dim': dim,
         'nterms': len(H.msc),
+    }
+    if kernel.xor_dense_info is not None:
+        result['engine'] = 'xor_dense'
+        result.update({f'xd_{k}': v
+                       for k, v in kernel.xor_dense_info.items()})
+    return result
+
+
+def stage_double_eig(L):
+    """Double precision on hardware: ground state of the MBL chain at L
+    via thick-restart Lanczos, with the device-computed residual
+    ||Hv - lambda v|| as the accuracy certificate (the reference's default
+    build is complex double throughout, petsc_config/complex-opt.py)."""
+    import jax.numpy as jnp
+    from dynamite_tpu import config
+    from dynamite_tpu.models import localized
+    from dynamite_tpu.subspaces import Full
+    from dynamite_tpu.computations import eigsolve
+
+    config.precision = 'double'
+    config.L = L
+    config._initialize()
+
+    H = localized(L)
+    sub = Full(L=L)
+    H.add_subspace(sub)
+
+    t0 = time.perf_counter()
+    evals, evecs = eigsolve(H, nev=1, getvecs=True, tol=1e-12)
+    wall = time.perf_counter() - t0
+
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+    v = evecs[0].data[:, :1 << L]
+    hv = fn(v)
+    lam = float(evals[0])
+    res = hv - lam * v
+    resid = float(jnp.linalg.norm(res)) / max(abs(lam), 1e-300)
+    return {
+        'eigsolve_s': wall,
+        'eval0': lam,
+        'relative_residual': resid,
+        'dim': 1 << L,
+        'precision': 'double',
     }
 
 
@@ -259,6 +332,7 @@ KINDS = {
     'spinconserve': lambda p: stage_spinconserve(p['L'], p['reps']),
     'syk': lambda p: stage_syk(p['L'], p['reps']),
     'evolve': lambda p: stage_evolve(p['L']),
+    'double_eig': lambda p: stage_double_eig(p['L']),
 }
 
 

@@ -46,10 +46,13 @@ def _load():
                                ctypes.c_int64, i64p, ctypes.c_int64]
     lib.spinconserve_s2i.restype = None
     lib.spinconserve_s2i.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
-                                     ctypes.c_int64, i64p, i64p]
+                                     ctypes.c_int64, i64p, ctypes.c_int64,
+                                     i64p, i64p, i64p]
     lib.spinconserve_i2s.restype = None
     lib.spinconserve_i2s.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
-                                     ctypes.c_int64, i64p, i64p]
+                                     ctypes.c_int64, i64p, ctypes.c_int64,
+                                     i64p, i64p, i64p, i64p, i64p,
+                                     ctypes.c_int64, i64p]
     lib.parity_and.restype = None
     lib.parity_and.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, u8p]
 
@@ -99,16 +102,21 @@ def bfs_sector(group_masks, group_offsets, signs, coeffs, seed,
         capacity *= 4
 
 
-def spinconserve_s2i(states, L, k, nchoosek):
+def spinconserve_s2i(states, L, k, nchoosek, La, off_tk, na_tk):
+    """Batch sector-major rank (see ops/sectors.py for the layout)."""
     lib = _load()
     if lib is None:
         return None
     states = np.ascontiguousarray(states, dtype=np.int64)
     nchoosek = np.ascontiguousarray(nchoosek, dtype=np.int64)
+    off_tk = np.ascontiguousarray(off_tk, dtype=np.int64)
+    na_tk = np.ascontiguousarray(na_tk, dtype=np.int64)
     out = np.empty(len(states), dtype=np.int64)
     lib.spinconserve_s2i(_ptr(states, ctypes.c_int64), len(states),
                          int(L), int(k),
-                         _ptr(nchoosek, ctypes.c_int64),
+                         _ptr(nchoosek, ctypes.c_int64), int(La),
+                         _ptr(off_tk, ctypes.c_int64),
+                         _ptr(na_tk, ctypes.c_int64),
                          _ptr(out, ctypes.c_int64))
     return out
 
@@ -127,15 +135,28 @@ def parity_and(states, mask):
     return out
 
 
-def spinconserve_i2s(idxs, L, k, nchoosek):
+def spinconserve_i2s(idxs, L, k, nchoosek, La, sec_off, sec_t, sec_kr,
+                     sec_ka, sec_na):
+    """Batch sector-major unrank (see ops/sectors.py for the layout)."""
     lib = _load()
     if lib is None:
         return None
     idxs = np.ascontiguousarray(idxs, dtype=np.int64)
     nchoosek = np.ascontiguousarray(nchoosek, dtype=np.int64)
+    sec_off = np.ascontiguousarray(sec_off, dtype=np.int64)
+    sec_t = np.ascontiguousarray(sec_t, dtype=np.int64)
+    sec_kr = np.ascontiguousarray(sec_kr, dtype=np.int64)
+    sec_ka = np.ascontiguousarray(sec_ka, dtype=np.int64)
+    sec_na = np.ascontiguousarray(sec_na, dtype=np.int64)
     out = np.empty(len(idxs), dtype=np.int64)
     lib.spinconserve_i2s(_ptr(idxs, ctypes.c_int64), len(idxs),
                          int(L), int(k),
-                         _ptr(nchoosek, ctypes.c_int64),
+                         _ptr(nchoosek, ctypes.c_int64), int(La),
+                         _ptr(sec_off, ctypes.c_int64),
+                         _ptr(sec_t, ctypes.c_int64),
+                         _ptr(sec_kr, ctypes.c_int64),
+                         _ptr(sec_ka, ctypes.c_int64),
+                         _ptr(sec_na, ctypes.c_int64),
+                         len(sec_off),
                          _ptr(out, ctypes.c_int64))
     return out

@@ -87,53 +87,104 @@ int64_t bfs_sector(
     return n_found;
 }
 
-// Batch combinatorial rank (state -> index) for the SpinConserve subspace.
-// nchoosek is a (k+1) x (L+1) row-major table, nchoosek[kk*(L+1) + n]
-// = C(n, kk). Emits -1 for states with the wrong popcount.
+// Value-order combinatorial rank of a fixed-popcount bitstring (one half
+// of the sector-major layout; see ops/sectors.py).
+static inline int64_t rank_half(uint64_t s, const int64_t* nchoosek,
+                                int64_t ld)
+{
+    int64_t idx = 0, kk = 0;
+    while (s) {
+        const int nbit = __builtin_ctzll(s);
+        ++kk;
+        if (kk <= nbit) idx += nchoosek[kk * ld + nbit];
+        s &= s - 1;
+    }
+    return idx;
+}
+
+static inline uint64_t unrank_half(int64_t idx, int64_t kk, int64_t nbits,
+                                   const int64_t* nchoosek, int64_t ld)
+{
+    uint64_t state = 0;
+    for (int64_t nbit = nbits; nbit > 0; --nbit) {
+        state <<= 1;
+        const int64_t current =
+            (kk > nbit - 1) ? 0 : nchoosek[kk * ld + (nbit - 1)];
+        if (idx >= current) {
+            idx -= current;
+            --kk;
+            state |= 1;
+        }
+    }
+    return state;
+}
+
+// Batch sector-major rank (state -> index) for the SpinConserve subspace
+// (layout: ops/sectors.py). nchoosek is a (k+1) x (L+1) row-major table;
+// off_tk / na_tk are the 2*(Lr+1)-entry sector offset / row-length lookups
+// indexed t*(Lr+1)+kr. Emits -1 for states with the wrong popcount.
 void spinconserve_s2i(
     const int64_t* states, int64_t n,
     int64_t L, int64_t k,
     const int64_t* nchoosek,
+    int64_t La,
+    const int64_t* off_tk,
+    const int64_t* na_tk,
     int64_t* out_idxs)
 {
     const int64_t ld = L + 1;
+    const int64_t Lr = L - La - 1;
+    const uint64_t amask = (La >= 64) ? ~0ull : ((1ull << La) - 1);
+    const uint64_t rmask = (Lr >= 64) ? ~0ull : ((1ull << Lr) - 1);
     for (int64_t i = 0; i < n; ++i) {
-        uint64_t s = (uint64_t)states[i];
+        const uint64_t s = (uint64_t)states[i];
         if (popcount64(s) != k) { out_idxs[i] = -1; continue; }
-        int64_t idx = 0, kk = 0;
-        while (s) {
-            const int nbit = __builtin_ctzll(s);
-            ++kk;
-            if (kk <= nbit) idx += nchoosek[kk * ld + nbit];
-            s &= s - 1;
-        }
-        out_idxs[i] = idx;
+        const int64_t t = (int64_t)((s >> (L - 1)) & 1);
+        const uint64_t hr = (s >> La) & rmask;
+        const uint64_t sa = s & amask;
+        const int64_t kr = popcount64(hr);
+        const int64_t slot = t * (Lr + 1) + kr;
+        out_idxs[i] = off_tk[slot]
+            + rank_half(hr, nchoosek, ld) * na_tk[slot]
+            + rank_half(sa, nchoosek, ld);
     }
 }
 
-// Batch combinatorial unrank (index -> state) for SpinConserve.
+// Batch sector-major unrank (index -> state) for SpinConserve. sec_* are
+// the per-sector metadata arrays (offset, top bit, rest popcount, low
+// popcount, row length) in index order.
 void spinconserve_i2s(
     const int64_t* idxs, int64_t n,
     int64_t L, int64_t k,
     const int64_t* nchoosek,
+    int64_t La,
+    const int64_t* sec_off,
+    const int64_t* sec_t,
+    const int64_t* sec_kr,
+    const int64_t* sec_ka,
+    const int64_t* sec_na,
+    int64_t n_sectors,
     int64_t* out_states)
 {
     const int64_t ld = L + 1;
+    const int64_t Lr = L - La - 1;
+    (void)k;
     for (int64_t i = 0; i < n; ++i) {
-        int64_t idx = idxs[i];
-        int64_t kk = k;
-        uint64_t state = 0;
-        for (int64_t nbit = L; nbit > 0; --nbit) {
-            state <<= 1;
-            const int64_t current =
-                (kk > nbit - 1) ? 0 : nchoosek[kk * ld + (nbit - 1)];
-            if (idx >= current) {
-                idx -= current;
-                --kk;
-                state |= 1;
-            }
+        const int64_t idx = idxs[i];
+        // binary search: last sector with sec_off <= idx
+        int64_t lo = 0, hi = n_sectors - 1;
+        while (lo < hi) {
+            const int64_t mid = (lo + hi + 1) >> 1;
+            if (sec_off[mid] <= idx) lo = mid; else hi = mid - 1;
         }
-        out_states[i] = (int64_t)state;
+        const int64_t rem = idx - sec_off[lo];
+        const int64_t na = sec_na[lo];
+        const int64_t rb = rem / na;
+        const int64_t ra = rem - rb * na;
+        const uint64_t hr = unrank_half(rb, sec_kr[lo], Lr, nchoosek, ld);
+        const uint64_t sa = unrank_half(ra, sec_ka[lo], La, nchoosek, ld);
+        out_states[i] = (int64_t)(((uint64_t)sec_t[lo] << (L - 1))
+                                  | (hr << La) | sa);
     }
 }
 

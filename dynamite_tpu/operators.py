@@ -458,13 +458,17 @@ class Operator:
         msc, base_left, base_right, early = self._conserves_prep(*subspaces)
         if early is not None:
             return early
-        if kernel.conserves_hint is None and (
-                kernel.mesh is None or kernel.mesh.devices.size == 1):
-            # building the local engine is work the first apply needs
-            # anyway, and the ELL build reports conservation for free
-            kernel.traceable(sharded=False)
-        if kernel.conserves_hint is not None:
-            return kernel.conserves_hint
+        # the engine-build byproduct is a row-wise (left-subspace) test,
+        # equivalent to the reference's column-wise CheckConserves only for
+        # square pairs; rectangular pairs must take the standalone reduction
+        if subspaces[0] == subspaces[1]:
+            if kernel.conserves_hint is None and (
+                    kernel.mesh is None or kernel.mesh.devices.size == 1):
+                # building the local engine is work the first apply needs
+                # anyway, and the table build reports conservation for free
+                kernel.traceable(sharded=False)
+            if kernel.conserves_hint is not None:
+                return kernel.conserves_hint
 
         from .ops.reductions import build_check_conserves
         check = build_check_conserves(msc, base_left, base_right,
@@ -496,10 +500,19 @@ class Operator:
             self._kernels.clear()
 
     def estimate_memory(self, mpi_size=None, ncv=None):
-        """Estimated device memory (GB) used when applying the operator —
-        the MSC metadata plus any Explicit subspace tables (everything is
-        matrix-free), summed across devices (cf. reference shell-mode
-        formula, operators.py:692-758).
+        """Estimated device memory (GB) used when applying the operator,
+        summed across devices (cf. reference shell-mode formula,
+        operators.py:692-758, the basis of its SYK memory story).
+
+        Counts the MSC metadata, any Explicit subspace tables, and the
+        tables of whichever apply engine the dispatch would build:
+
+        * sector MXU engine (SpinConserve pairs): the per-sector matrices
+          plus the diagonal stream — replicated on every device;
+        * ELL gather engine (Explicit/Auto/projections, many-mask
+          operators): column/coefficient tables — sharded over the mesh;
+        * Pallas XOR kernel (Full/Parity): the precomputed diagonal
+          stream — sharded.
 
         With ``ncv`` given, also counts the Krylov solver workspace: the
         (ncv+1, 2, dim) basis the Lanczos/Arnoldi iteration keeps resident
@@ -520,11 +533,51 @@ class Operator:
                     usage += sp.rmap_indices.nbytes
         usage *= mpi_size
 
+        usage += self._engine_table_bytes(mpi_size)
+
         if ncv is not None:
             from .solvers.krylov import workspace_bytes
             usage += workspace_bytes(
                 self.right_subspace.get_dimension(), ncv)
         return usage / 1e9
+
+    def _engine_table_bytes(self, mpi_size):
+        """Device bytes of the apply-engine tables the dispatch would
+        build for the default (left, right) subspace pair."""
+        from .ops.apply import _Plan
+        from .ops import ell as ell_mod
+        from .ops.sector_apply import sector_supported, table_bytes_estimate
+
+        left, right = self.left_subspace, self.right_subspace
+        self.establish_L()
+        self.reduce_msc()
+        msc = self.msc
+        if not left.product_state_basis:
+            msc = left.reduce_msc(msc)
+        try:
+            plan = _Plan(msc, left, right)
+        except Exception:
+            return 0
+        cb = np.dtype(config.real_dtype).itemsize
+
+        if plan.xor_mode and not plan.use_scan:
+            # Pallas / XLA XOR engines: the only table is the precomputed
+            # diagonal stream (sharded), when there are >= the threshold
+            # diagonal terms
+            n_diag = sum(len(g[2]) for g in plan.groups if g[1] == 0)
+            from .ops.pallas_apply import DIAG_PRECOMPUTE_MIN_TERMS
+            if n_diag >= DIAG_PRECOMPUTE_MIN_TERMS:
+                return plan.dim_left * cb * 2
+            return 0
+        if sector_supported(plan, left, right):
+            est = table_bytes_estimate(plan, left, right)
+            if est <= ell_mod.ell_budget():
+                # matrices are replicated on every device
+                return est * mpi_size
+        ell_bytes = ell_mod.table_bytes(plan)
+        if ell_bytes <= ell_mod.ell_budget():
+            return ell_bytes  # sharded over the mesh
+        return 0
 
     # -- applying ------------------------------------------------------------
 

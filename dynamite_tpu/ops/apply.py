@@ -225,6 +225,8 @@ class OperatorKernel:
         self.right = right
         self.mesh = mesh
         self.pallas_plan = None  # set when the Pallas fast path is built
+        self.sector_plan = None  # set when the sector MXU engine is built
+        self.xor_dense_info = None  # set when the XOR-dense engine is built
         # conservation flag computed as a byproduct of the ELL table build
         # (None when the engine in use has no cheap byproduct)
         self.conserves_hint = None
@@ -338,6 +340,12 @@ class OperatorKernel:
         fn = self._try_pallas()
         if fn is not None:
             return fn
+        fn = self._try_sector_local()
+        if fn is not None:
+            return fn
+        fn = self._try_xor_dense_local()
+        if fn is not None:
+            return fn
         fn = self._try_ell_local()
         if fn is not None:
             return fn
@@ -403,6 +411,10 @@ class OperatorKernel:
                 last_err = e
                 built = getattr(e, 'pallas_block_bits', bb)
                 bb = min(bb, built) - 2  # retry at a smaller block
+        if last_err is None:
+            # the loop never ran (dim below the minimum block size):
+            # not a kernel failure, just ineligible — fall through quietly
+            return None
         # a failed kernel build must not silently demote production to
         # the (slower) XLA engine: surface it, and raise when the user
         # demands the fast path
@@ -415,12 +427,39 @@ class OperatorKernel:
                       f'{last_err!r}', RuntimeWarning, stacklevel=2)
         return None
 
+    def _try_sector_local(self):
+        """The sector-blocked MXU engine (ops/sector_apply.py) for square
+        SpinConserve pairs (plain or XParity-wrapped): the basis ordering
+        makes every symmetry sector a contiguous matrix block and the
+        matvec a handful of dense matmuls per sector."""
+        from .sector_apply import build_sector_apply
+        fn, sp = build_sector_apply(self.plan, self.left, self.right)
+        if fn is None:
+            return None
+        # build byproduct: True / False / None (None = possible cross-
+        # subgroup cancellation, needs the standalone device check)
+        self.conserves_hint = sp.conserved
+        self.sector_plan = sp
+        return fn
+
+    def _try_xor_dense_local(self):
+        """The XOR-blocked dense-matmul engine (ops/xor_dense.py) for
+        many-mask XOR-mode operators (SYK): terms merge into per-high-mask
+        channel matrices and the apply is a lax.scan of MXU matmuls."""
+        from .xor_dense import build_xor_dense
+        fn, info = build_xor_dense(self.plan, self.left, self.right)
+        if fn is None:
+            return None
+        self.xor_dense_info = info
+        return fn
+
     def _try_ell_local(self):
         """The precomputed-table ELL engine (ops/ell.py) for plans whose
         on-the-fly path would recompute subspace rankings every apply:
-        non-XOR pairs (SpinConserve/Explicit/Auto/projections) and
-        many-mask XOR operators (SYK). XOR pairs with few masks keep the
-        cheaper table-free xor_permute path."""
+        non-XOR pairs the sector engine declines (Explicit/Auto/
+        projections/rectangular pairs) and many-mask XOR operators (SYK).
+        XOR pairs with few masks keep the cheaper table-free xor_permute
+        path."""
         from . import ell
         plan = self.plan
         if not ell.ell_enabled() or not plan.groups:
@@ -428,29 +467,6 @@ class OperatorKernel:
         if plan.xor_mode and not plan.use_scan:
             return None
         from .. import config
-
-        # adjacent-pair SpinConserve operators take the shift-class engine:
-        # the permutation decomposes into a static roll schedule (pure
-        # streaming; a real gather on TPU runs ~1.5 GB/s)
-        schedules = ell.shift_schedule(plan, self.left, self.right)
-        if schedules is not None \
-                and ell.shift_table_bytes(plan) <= ell.ell_budget():
-            # tables padded to the chunk grid of the chunked apply
-            C = 1 << ell.SHIFT_CHUNK_BITS
-            n_rows = plan.dim_left if plan.dim_left <= C \
-                else -(-plan.dim_left // C) * C
-            *tables, fconst, conserved = ell.build_shift_tables(
-                plan, schedules, n_rows, config.real_dtype,
-                with_conserves=True)
-            self.conserves_hint = bool(conserved)
-            cls, fr = tables[0], tables[1]
-            fi = tables[2] if len(tables) > 2 else None
-            inner = ell.make_shift_apply(schedules, plan.dim_right,
-                                         fi is not None, fconst=fconst,
-                                         n_rows=n_rows)
-            if fi is None:
-                return lambda x: inner(x, cls, fr)
-            return lambda x: inner(x, cls, fr, fi)
 
         if ell.table_bytes(plan) > ell.ell_budget():
             return None
@@ -652,6 +668,10 @@ class OperatorKernel:
         local_left = sdim_left // nd
         has_pad = local_left * nd != plan.dim_left
 
+        fn = self._try_sector_sharded(sdim_left)
+        if fn is not None:
+            return fn
+
         from . import ell
         if (ell.ell_enabled() and plan.groups
                 and ell.table_bytes(plan, sdim_left) <= ell.ell_budget()):
@@ -731,6 +751,32 @@ class OperatorKernel:
         return jax.shard_map(local_fn, mesh=mesh,
                              in_specs=P(None, axis), out_specs=P(None, axis))
 
+    def _try_sector_sharded(self, sdim_left):
+        """The sector MXU engine on the mesh, GSPMD-partitioned: the global
+        per-sector matmul program is expressed once over the (padded)
+        sharded state and XLA's SPMD partitioner inserts the collectives —
+        the scaling-book recipe (annotate shardings, let XLA place the
+        all-gathers) instead of the reference's hand-rolled
+        VecScatterCreateToAll (bcuda_template_2.cu:141-172)."""
+        from .sector_apply import build_sector_apply
+        plan = self.plan
+        fn, sp = build_sector_apply(plan, self.left, self.right)
+        if fn is None:
+            return None
+        self.conserves_hint = sp.conserved
+        self.sector_plan = sp
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        spec = NamedSharding(mesh, P(None, axis))
+
+        def wrapped(x):
+            y = fn(x[:, :plan.dim_right])
+            if sdim_left != plan.dim_left:
+                y = jnp.pad(y, ((0, 0), (0, sdim_left - plan.dim_left)))
+            return jax.lax.with_sharding_constraint(y, spec)
+
+        return wrapped
+
     def _try_pallas_sharded(self, interpret=False):
         """The Pallas hot kernel on each device's local block inside
         shard_map (XOR pairs, f32, power-of-two meshes): the ppermute
@@ -759,6 +805,8 @@ class OperatorKernel:
             except Exception as e:
                 last_err = e
                 bb -= 2
+        if last_err is None:
+            return None  # local block below the minimum: ineligible
         if getattr(config, 'require_pallas', False):
             raise last_err
         import warnings
@@ -823,39 +871,6 @@ class OperatorKernel:
         from .. import config
         mesh = self.mesh
         axis = mesh.axis_names[0]
-
-        schedules = ell.shift_schedule(self.plan, self.left, self.right)
-        if schedules is not None \
-                and ell.shift_table_bytes(self.plan,
-                                          sdim_left) <= ell.ell_budget():
-            spec2 = NamedSharding(mesh, P(None, axis))
-            cls, fr, fi, fconst, conserved = ell.build_shift_tables(
-                self.plan, schedules, sdim_left, config.real_dtype,
-                out_shardings=spec2, with_conserves=True)
-            self.conserves_hint = bool(conserved)
-            inner = ell.make_shift_apply(schedules, self.plan.dim_right,
-                                         fi is not None,
-                                         local_rows=local_left, axis=axis,
-                                         fconst=fconst)
-
-            if fi is None:
-                def local_fn(x_local, cls_l, fr_l):
-                    x = lax.all_gather(x_local, axis, axis=1, tiled=True)
-                    return inner(x, cls_l, fr_l)
-                n_tables = 2
-            else:
-                def local_fn(x_local, cls_l, fr_l, fi_l):
-                    x = lax.all_gather(x_local, axis, axis=1, tiled=True)
-                    return inner(x, cls_l, fr_l, fi_l)
-                n_tables = 3
-
-            mapped = jax.shard_map(
-                local_fn, mesh=mesh,
-                in_specs=(P(None, axis),) + (P(None, axis),) * n_tables,
-                out_specs=P(None, axis))
-            if fi is None:
-                return lambda x: mapped(x, cls, fr)
-            return lambda x: mapped(x, cls, fr, fi)
 
         spec = NamedSharding(mesh, P(None, None, axis))
         cols, fr, fi = ell.build_tables(self.plan, sdim_left,

@@ -51,28 +51,41 @@ class ParityMap:
 
 
 class SpinConserveMap:
-    """Combinatorial (un)ranking of fixed-popcount bitstrings, using the
-    binomial table as a device constant. The rank loop is unrolled over the
-    L bit positions at trace time (reference: bsubspace_impl.h:191-228)."""
+    """Sector-major (un)ranking of fixed-popcount bitstrings (see
+    ops/sectors.py): index = sector offset + rank(high rest) * na +
+    rank(low half). The two half-rank loops are unrolled at trace time
+    (together they cost the same L-1 fused steps as a flat combinatorial
+    rank — the reference's formulation, bsubspace_impl.h:191-228 — while
+    producing the layout the MXU sector engine needs)."""
 
     def __init__(self, L, k, nchoosek):
+        from .sectors import layout
         self.L = L
         self.k = k
         self.nchoosek = np.asarray(nchoosek)  # [kk, n] = C(n, kk)
+        self.lay = layout(L, k)
 
-    def i2s(self, idx):
+    def _rank(self, x, nbits, flat, ld):
+        """Unrolled value-order combinatorial rank over one half."""
+        dt = x.dtype
+        one = jnp.asarray(1, dt)
+        idx = jnp.zeros_like(x)
+        kk = jnp.zeros_like(x)
+        for n in range(nbits):
+            bit = (x >> n) & one
+            kk = kk + bit
+            idx = idx + bit * flat[jnp.clip(kk, 0, self.k) * ld + n]
+        return idx
+
+    def _unrank(self, idx, k0, nbits, flat, ld):
+        """Unrolled unrank over one half; k0 is a per-lane popcount."""
         dt = idx.dtype
-        # flattened table so a single gather serves [k, n] lookups
-        flat = jnp.asarray(self.nchoosek.reshape(-1), dtype=dt)
-        ld = self.nchoosek.shape[1]
-        idx = idx.astype(dt)
         state = jnp.zeros_like(idx)
-        k = jnp.full_like(idx, self.k)
-        for n in range(self.L, 0, -1):
+        k = k0
+        for n in range(nbits, 0, -1):
             state = state << 1
             current = jnp.where(
-                k > n - 1,
-                jnp.zeros_like(idx),
+                k > n - 1, jnp.zeros_like(idx),
                 flat[jnp.clip(k, 0, self.k) * ld + (n - 1)])
             take = idx >= current
             idx = idx - jnp.where(take, current, 0)
@@ -80,20 +93,42 @@ class SpinConserveMap:
             state = state | take.astype(dt)
         return state
 
+    def i2s(self, idx):
+        dt = idx.dtype
+        lay = self.lay
+        flat = jnp.asarray(self.nchoosek.reshape(-1), dtype=dt)
+        ld = self.nchoosek.shape[1]
+        offs = jnp.asarray(lay.off, dtype=dt)
+        sec = jnp.searchsorted(offs, idx, side='right') - 1
+        rem = idx - offs[sec]
+        na = jnp.asarray(lay.na, dtype=dt)[sec]
+        rb = rem // na
+        ra = rem - rb * na
+        hr = self._unrank(rb, jnp.asarray(lay.kr, dt)[sec], lay.Lr,
+                          flat, ld)
+        sa = self._unrank(ra, jnp.asarray(lay.ka, dt)[sec], lay.La,
+                          flat, ld)
+        t = jnp.asarray(lay.t, dt)[sec]
+        return (t << (self.L - 1)) | (hr << lay.La) | sa
+
     def s2i(self, state):
         dt = state.dtype
+        lay = self.lay
         flat = jnp.asarray(self.nchoosek.reshape(-1), dtype=dt)
         ld = self.nchoosek.shape[1]
         one = jnp.asarray(1, dt)
-        idx = jnp.zeros_like(state)
-        kk = jnp.zeros_like(state)
-        for n in range(self.L):
-            bit = (state >> n) & one
-            kk = kk + bit
-            # C(n, kk) is zero when kk > n so no explicit bound test
-            idx = idx + bit * flat[jnp.clip(kk, 0, self.k) * ld + n]
-        valid = kk == jnp.asarray(self.k, dt)
-        return idx, valid
+        t = (state >> (self.L - 1)) & one
+        hr = (state >> lay.La) & jnp.asarray((1 << lay.Lr) - 1, dt)
+        sa = state & jnp.asarray((1 << lay.La) - 1, dt)
+        kr = lax.population_count(hr)
+        ka = lax.population_count(sa)
+        valid = (t + kr + ka) == jnp.asarray(self.k, dt)
+        slot = t * (lay.Lr + 1) + kr
+        off = jnp.asarray(lay.off_tk, dtype=dt)[slot]
+        na = jnp.asarray(lay.na_tk, dtype=dt)[slot]
+        rb = self._rank(hr, lay.Lr, flat, ld)
+        ra = self._rank(sa, lay.La, flat, ld)
+        return off + rb * na + ra, valid
 
 
 class ExplicitMap:

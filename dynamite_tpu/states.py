@@ -203,13 +203,12 @@ class State:
 
         @partial(jax.jit, static_argnums=(1, 2), out_shardings=sharding)
         def _gen(key, n, n_storage):
-            w = jax.random.normal(key, (2, n_storage),
-                                  dtype=config.real_dtype)
+            # draw exactly (2, n) values so the state is identical for any
+            # device count (the storage pad depends on the mesh size and
+            # must not shape the draw), then zero-pad the storage tail
+            w = jax.random.normal(key, (2, n), dtype=config.real_dtype)
             if n_storage != n:
-                # zero the storage pad (see State.storage_dim)
-                keep = jax.lax.broadcasted_iota(
-                    np.int32, (n_storage,), 0) < n
-                w = w * keep[None, :].astype(w.dtype)
+                w = jax.numpy.pad(w, ((0, 0), (0, n_storage - n)))
             return w
 
         data = _gen(jax.random.PRNGKey(seed % 2**32), dim, sdim)

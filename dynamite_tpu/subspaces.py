@@ -18,7 +18,7 @@ import numpy as np
 
 from . import config
 from .utils import validate
-from .utils.bitwise import parity
+from .utils.bitwise import parity, popcount
 from .ops import msc as msc_mod
 
 
@@ -212,8 +212,14 @@ class Parity(_ProductStateSubspace):
 class SpinConserve(_ProductStateSubspace):
     """States with exactly ``k`` down (1) spins: dimension C(L, k).
 
-    Index = combinatorial rank of the bitstring, computed with a
-    binomial-coefficient table (reference: bsubspace_impl.h:191-228).
+    The basis is ordered *sector-major* (see :mod:`dynamite_tpu.ops.sectors`):
+    primarily by the top spin, then by the Hamming weight of the high half,
+    then by the combinatorial rank of each half.  This ordering makes every
+    symmetry sector a contiguous 2-D block, so the matvec compiles to dense
+    MXU matmuls (ops/sector_apply.py) instead of the per-row ranked gathers
+    a flat combinatorial rank would force (the reference's formulation,
+    bsubspace_impl.h:191-228, which maps well to CPU/GPU scalar lanes but
+    not to a systolic-array machine).
     """
 
     def __init__(self, L, k, spinflip=None):
@@ -239,6 +245,12 @@ class SpinConserve(_ProductStateSubspace):
     def nchoosek(self):
         return self._nchoosek
 
+    @property
+    def sector_layout(self):
+        """The static sector-major layout (ops/sectors.SectorLayout)."""
+        from .ops import sectors
+        return sectors.layout(self.L, self.k)
+
     def __hash__(self):
         return hash(('SpinConserve', self.L, self.k))
 
@@ -252,36 +264,23 @@ class SpinConserve(_ProductStateSubspace):
         if state.size >= 1024:
             from . import _native
             if _native.available():
-                return _native.spinconserve_s2i(state, self.L, self.k,
-                                                self._nchoosek)
-        idx = np.zeros(state.shape, dtype=np.int64)
-        kk = np.zeros(state.shape, dtype=np.int64)
-        for n in range(self.L):
-            bit = (state >> n) & 1
-            kk += bit
-            # C(n, kk) is zero when kk > n, so no bounds test needed
-            idx += bit * self._nchoosek[np.minimum(kk, self.k), n]
-        valid = kk == self.k
-        return np.where(valid, idx, -1)
+                lay = self.sector_layout
+                return _native.spinconserve_s2i(
+                    state, self.L, self.k, self._nchoosek,
+                    lay.La, lay.off_tk, lay.na_tk)
+        from .ops import sectors
+        return sectors.state_to_idx(self.sector_layout, state)
 
     def _idx_to_state(self, idx):
         if idx.size >= 1024:
             from . import _native
             if _native.available():
-                return _native.spinconserve_i2s(idx, self.L, self.k,
-                                                self._nchoosek)
-        idx = idx.copy()
-        state = np.zeros(idx.shape, dtype=np.int64)
-        k = np.full(idx.shape, self.k, dtype=np.int64)
-        for n in range(self.L, 0, -1):
-            state <<= 1
-            current = np.where(k > n - 1, 0,
-                               self._nchoosek[np.minimum(k, self.k), n - 1])
-            take = idx >= current
-            idx -= np.where(take, current, 0)
-            k -= take
-            state |= take
-        return state
+                lay = self.sector_layout
+                return _native.spinconserve_i2s(
+                    idx, self.L, self.k, self._nchoosek,
+                    lay.La, lay.off, lay.t, lay.kr, lay.ka, lay.na)
+        from .ops import sectors
+        return sectors.idx_to_state(self.sector_layout, idx)
 
 
 class Explicit(_ProductStateSubspace):
@@ -380,7 +379,7 @@ class Auto(Explicit):
         state_map = _bfs_sector(H.msc, self.state)
 
         if sort:
-            state_map = np.sort(state_map)
+            state_map = _canonical_order(state_map, H.L)
         else:
             state_map = state_map[::-1]  # reverse Cuthill-McKee needs reverse
 
@@ -388,6 +387,21 @@ class Auto(Explicit):
 
     def __repr__(self):
         return f'Auto({self._repr_args})'
+
+
+def _canonical_order(states, L):
+    """The canonical deterministic order for a discovered sector: when the
+    sector has uniform Hamming weight (a magnetization sector), the
+    SpinConserve sector-major order — so Auto == SpinConserve holds, as in
+    the reference (its tests rely on the equality); otherwise plain value
+    order."""
+    pcs = popcount(states)
+    if len(states) and np.all(pcs == pcs.flat[0]):
+        from .ops import sectors
+        lay = sectors.layout(L, int(pcs.flat[0]))
+        key = sectors.state_to_idx(lay, states)
+        return np.ascontiguousarray(states[np.argsort(key, kind='stable')])
+    return np.sort(states)
 
 
 def _bfs_sector(msc, seed):

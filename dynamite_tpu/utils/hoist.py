@@ -42,9 +42,11 @@ def hjit(fn, **jit_kwargs):
 
     @wraps(fn)
     def wrapper(*args):
-        key = tuple(
+        # the pytree structure is part of the key: two calls with identical
+        # leaf signatures but different structures must not share a jaxpr
+        key = (jax.tree_util.tree_structure(args), tuple(
             (x.shape, str(x.dtype)) if hasattr(x, 'shape') else x
-            for x in jax.tree_util.tree_leaves(args))
+            for x in jax.tree_util.tree_leaves(args)))
         entry = cache.get(key)
         if entry is None:
             flat_args, in_tree = jax.tree_util.tree_flatten(args)

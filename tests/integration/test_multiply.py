@@ -168,23 +168,20 @@ def test_expectation():
     assert abs(H.expectation(s) - expected) < 1e-10
 
 
-def test_shift_engine_chunked_branch(monkeypatch):
-    """The chunked variant of the adjacent-shift apply (row chunks +
-    padded-slice reads) — only reachable at L>=21 with the production
-    chunk size, so exercise it with a tiny chunk."""
-    from dynamite_tpu.ops import ell
+def test_sector_engine_mbl(monkeypatch):
+    """The sector-blocked MXU engine must serve SpinConserve pairs and
+    agree with the dense oracle (the hot path of the spinconserve bench
+    stage)."""
     from dynamite_tpu.subspaces import SpinConserve
-    from dynamite_tpu.states import State
-
-    monkeypatch.setattr(ell, 'SHIFT_CHUNK_BITS', 6)
 
     L = 12
     H = models.localized(L)
-    sub = SpinConserve(L, L // 2)   # C(12,6)=924: 15 chunks of 64 (padded)
+    sub = SpinConserve(L, L // 2)   # C(12,6)=924
     H.add_subspace(sub)
     kernel = H.get_mat(subspaces=(sub, sub))
-    # the local engine must be the shift engine's chunked path
     fn = kernel.traceable(sharded=False)
+    assert kernel.sector_plan is not None
+    assert kernel.sector_plan.conserved is True
 
     rng = np.random.RandomState(5)
     dim = sub.get_dimension()
@@ -195,5 +192,53 @@ def test_shift_engine_chunked_branch(monkeypatch):
     got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
     H_np = H.to_numpy(subspaces=(sub, sub))
     want = H_np @ (x[0] + 1j * x[1])
+    err = np.max(np.abs((got[0] + 1j * got[1]) - want))
+    assert err < 1e-10, err
+
+
+def test_xor_dense_engine_syk(monkeypatch):
+    """The XOR-blocked dense engine must serve many-mask XOR operators
+    (SYK) and agree with the oracle, in Parity and Full subspaces."""
+    from dynamite_tpu.subspaces import Parity, Full
+    from dynamite_tpu.ops import xor_dense
+
+    monkeypatch.setattr(xor_dense, 'MIN_DIM', 1 << 6)
+    H = models.syk(7)
+    for sub in (Parity('even', L=7), Parity('odd', L=7), Full(L=7)):
+        H.add_subspace(sub)
+        kernel = H.get_mat(subspaces=(sub, sub))
+        fn = kernel.traceable(sharded=False)
+        assert kernel.xor_dense_info is not None
+        dim = sub.get_dimension()
+        rng = np.random.RandomState(3)
+        x = rng.standard_normal((2, dim))
+        import jax
+        got = np.asarray(jax.jit(fn)(x))
+        want = H.to_numpy(subspaces=(sub, sub)) @ (x[0] + 1j * x[1])
+        err = np.max(np.abs((got[0] + 1j * got[1]) - want))
+        assert err < 1e-10, (sub, err)
+
+
+def test_sector_engine_disabled_falls_back(monkeypatch):
+    """With config.use_sector off, SpinConserve pairs take the ELL gather
+    engine and still agree with the oracle."""
+    from dynamite_tpu import config as cfg
+    from dynamite_tpu.subspaces import SpinConserve
+
+    monkeypatch.setattr(cfg, 'use_sector', False, raising=False)
+    L = 8
+    H = models.heisenberg(L)
+    sub = SpinConserve(L, 3)
+    H.add_subspace(sub)
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+    assert kernel.sector_plan is None
+
+    rng = np.random.RandomState(5)
+    dim = sub.get_dimension()
+    x = rng.standard_normal((2, dim)).astype(np.float64)
+    import jax
+    got = np.asarray(jax.jit(fn)(x))
+    want = H.to_numpy(subspaces=(sub, sub)) @ (x[0] + 1j * x[1])
     err = np.max(np.abs((got[0] + 1j * got[1]) - want))
     assert err < 1e-10, err

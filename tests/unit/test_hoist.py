@@ -48,12 +48,14 @@ def test_hjit_hoists_large_consts():
     assert len(mlir) < 200_000, f'module unexpectedly large: {len(mlir)}'
 
 
-def test_hjit_kernel_tables_are_arguments():
+def test_hjit_kernel_tables_are_arguments(monkeypatch):
     """End to end: an ELL-engine kernel's jitted apply must receive its
-    tables as arguments."""
-    from dynamite_tpu import models
+    tables as arguments (the sector engine is disabled so the kernel
+    builds the table-heavy ELL gather path)."""
+    from dynamite_tpu import models, config
     from dynamite_tpu.subspaces import SpinConserve
 
+    monkeypatch.setattr(config, 'use_sector', False, raising=False)
     H = models.localized(14)
     sub = SpinConserve(14, 7)
     H.add_subspace(sub)

@@ -26,16 +26,25 @@ def test_parity_and():
 
 
 def test_spinconserve_roundtrip():
+    """The native sector-major (un)ranking must agree with the pure-numpy
+    layout implementation (ops/sectors.py)."""
+    from dynamite_tpu.ops import sectors
+
     L, k = 12, 5
+    lay = sectors.layout(L, k)
     dim = math.comb(L, k)
-    nchoosek = np.array(
-        [[math.comb(n, kk) for n in range(L + 1)] for kk in range(k + 1)],
-        dtype=np.int64)
+    nchoosek = sectors.nchoosek_table(L, k)
     idxs = np.arange(dim, dtype=np.int64)
-    states = _native.spinconserve_i2s(idxs, L, k, nchoosek)
-    # every state has popcount k, strictly increasing
+    states = _native.spinconserve_i2s(idxs, L, k, nchoosek, lay.La,
+                                      lay.off, lay.t, lay.kr, lay.ka,
+                                      lay.na)
+    assert np.array_equal(states, sectors.idx_to_state(lay, idxs))
     pops = np.array([bin(int(s)).count('1') for s in states])
     assert np.all(pops == k)
-    assert np.all(np.diff(states) > 0)
-    back = _native.spinconserve_s2i(states, L, k, nchoosek)
+    back = _native.spinconserve_s2i(states, L, k, nchoosek, lay.La,
+                                    lay.off_tk, lay.na_tk)
     assert np.array_equal(back, idxs)
+    # wrong-popcount states map to -1
+    bad = _native.spinconserve_s2i(np.array([0, (1 << L) - 1]), L, k,
+                                   nchoosek, lay.La, lay.off_tk, lay.na_tk)
+    assert np.all(bad == -1)

@@ -67,17 +67,40 @@ class TestSpinConserve:
         states = s.idx_to_state(np.arange(dim))
         assert np.all(popcount(states) == k)
         assert len(np.unique(states)) == dim
-        # states are emitted in sorted (combinatorial rank) order
-        assert np.all(np.diff(states) > 0)
         assert np.array_equal(s.state_to_idx(states), np.arange(dim))
 
-    def test_exhaustive_small(self):
+    def test_sector_major_order(self):
+        """States are emitted sector-major: primarily by the top spin, then
+        by the Hamming weight of the high rest, then by value within each
+        half (ops/sectors.py) — the ordering that makes every sector a
+        contiguous matrix block for the MXU engine."""
         L, k = 5, 2
         s = SpinConserve(L, k)
-        expected = sorted(x for x in range(2 ** L)
-                          if bin(x).count('1') == k)
+        La = L // 2
+
+        def key(x):
+            t = x >> (L - 1)
+            hr = (x >> La) & ((1 << (L - La - 1)) - 1)
+            return (t, bin(hr).count('1'), hr, x & ((1 << La) - 1))
+
+        expected = sorted((x for x in range(2 ** L)
+                           if bin(x).count('1') == k), key=key)
         got = s.idx_to_state(np.arange(s.get_dimension()))
         assert list(got) == expected
+
+    def test_xparity_representatives_first(self):
+        """For k = L/2 the first dim/2 states have the top spin clear —
+        the invariant XParity's representative convention needs."""
+        L = 6
+        s = SpinConserve(L, L // 2)
+        dim = s.get_dimension()
+        states = s.idx_to_state(np.arange(dim))
+        assert np.all(states[:dim // 2] >> (L - 1) == 0)
+        assert np.all(states[dim // 2:] >> (L - 1) == 1)
+        # complementation is exact index reversal
+        flip = (1 << L) - 1
+        assert np.array_equal(s.state_to_idx(flip ^ states),
+                              np.arange(dim)[::-1])
 
     def test_wrong_weight(self):
         s = SpinConserve(4, 2)
