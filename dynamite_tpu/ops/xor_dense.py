@@ -65,8 +65,11 @@ def pick_split(groups, eff, nbits, budget, coeff_bytes):
             continue
         # MXU tile floor: matmuls below the (8, 128) f32 tile waste lanes
         flops = C * max(nh, 8) * max(na, 128) * na * 4
+        # 15 us/step measured on v5e (slice of the M stack + take + dot);
+        # the scan-step overhead is what pushes the optimum toward few
+        # large channels
         t = (flops / _MXU_FLOPS + (table + C * nh * na * 8) / _HBM_BPS
-             + C * 3e-6)  # per-scan-step dispatch overhead
+             + C * 15e-6)
         if best is None or t < best[0]:
             best = (t, La, C, table)
     return best
@@ -108,8 +111,12 @@ def build_xor_dense(plan, left, right):
     except TypeError:
         return None, None
 
+    # real-coefficient operators (SYK after reduction) need no imaginary
+    # table — halving the budget pressure moves the optimum to fewer,
+    # larger channels
+    any_imag = any(np.any(np.abs(np.imag(g[3])) > 0) for g in plan.groups)
     pick = pick_split(plan.groups, eff, nbits,
-                      ell.ell_budget(), 2 * cb)
+                      ell.ell_budget(), (2 if any_imag else 1) * cb)
     if pick is None:
         return None, None
     _t, La, C, _table = pick

@@ -81,7 +81,7 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
 
     if stats is None:
         stats = {}
-    stats.update(restarts=0, matvecs=0, host_syncs=0)
+    stats.update(restarts=0, matvecs=0, host_syncs=0, verify_cycles=0)
 
     # number of Ritz pairs retained through a restart
     p = min(m - 1, max(nev + 5, (m + nev) // 2))
@@ -94,6 +94,19 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
     # projected matrix: tridiagonal on the first cycle
     M = _tridiag(alpha_h, beta_h)
     beta_res = beta_h[m - 1]
+
+    # A single-vector Krylov space sees exactly one direction of each
+    # degenerate eigenspace, so converged[:nev] alone cannot certify
+    # multiplicities (the second copy of a repeated eigenvalue is invisible
+    # to the start vector). Once the wanted pairs converge we therefore run
+    # *verification cycles*: restart keeping only the converged (locked)
+    # Ritz vectors, inject a fresh random direction orthogonal to them, and
+    # iterate again. Any missed copy has O(1) overlap with the injected
+    # vector and surfaces immediately; we return only when the spectrum is
+    # stable under injection. This is the role SLEPc's Krylov-Schur locking
+    # plays for the reference (its degenerate Heisenberg tests,
+    # tests/integration/test_eigsolve.py:31-88).
+    verified_vals = None
 
     for restart in range(max_restarts):
         theta, S = np.linalg.eigh(M)
@@ -115,8 +128,49 @@ def eigsolve_trlanczos(kops, dim, dtype, nev=1, which='lowest', tol=None,
             nconv = nev
             while nconv < m and converged[nconv]:
                 nconv += 1
-            stats['nconv'] = nconv
-            return theta[:nconv], S[:, :nconv], V
+            cur = theta[:nev].copy()
+            vtol = 10 * tol * np.maximum(
+                np.abs(cur), tol_scale if tol_scale is not None else 1e-30)
+            if verified_vals is not None and \
+                    np.all(np.abs(cur - verified_vals) <= vtol):
+                stats['nconv'] = nconv
+                return theta[:nconv], S[:, :nconv], V
+
+            # ---- verification restart: lock converged pairs, inject a
+            # fresh random direction ----
+            verified_vals = cur
+            p_v = min(nconv, m - 2)
+            C = np.zeros((m + 1, m + 1))
+            C[:p_v, :m] = S[:, :p_v].T
+            V = krylov.recombine_basis(V, jnp.asarray(C, dtype=dtype))
+            w = random_start(dim, dtype,
+                             seed=seed + 7919 * (stats['verify_cycles'] + 1),
+                             sharding=sharding, storage_dim=storage_dim)
+            ks = np.arange(m + 1)
+            mask = jnp.asarray((ks < p_v).astype(np.float64), dtype=dtype)
+            w = krylov.orthonormalize_against(V, w, mask)
+            V = V.at[p_v].set(w)
+
+            V, alpha, beta = kops.lanczos_restarted(V, p_v)
+            alpha_h = np.asarray(alpha, dtype=np.float64)
+            beta_h = np.asarray(beta, dtype=np.float64)
+            stats['verify_cycles'] += 1
+            stats['matvecs'] += m - p_v
+            stats['host_syncs'] += 2
+
+            # locked pairs are eigen-directions up to tol: their coupling
+            # to the injected direction is below the convergence floor, so
+            # the projected matrix is block diagonal(theta_locked) (+)
+            # tridiagonal(active)
+            M = np.zeros((m, m))
+            M[:p_v, :p_v] = np.diag(theta[:p_v])
+            for j in range(p_v, m):
+                M[j, j] = alpha_h[j]
+            for j in range(p_v, m - 1):
+                M[j, j + 1] = beta_h[j]
+                M[j + 1, j] = beta_h[j]
+            beta_res = beta_h[m - 1]
+            continue
 
         # ---- thick restart ----
         C = np.zeros((m + 1, m + 1))

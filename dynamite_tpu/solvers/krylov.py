@@ -183,6 +183,17 @@ def recombine_basis(V, C):
     return jnp.einsum('pk,kri->pri', C, V)
 
 
+@jax.jit
+def orthonormalize_against(V, w, mask):
+    """Two-pass Gram-Schmidt of w against the masked basis rows, then
+    normalize — used to inject a fresh random direction into a restart
+    (degenerate-spectrum verification, solvers/eigs.py)."""
+    w, _ = _orthogonalize(V, w, mask)
+    w, _ = _orthogonalize(V, w, mask)
+    n = _norm(w)
+    return w / jnp.where(n > 0, n, 1)
+
+
 class KrylovOps:
     """Compiled Krylov building blocks bound to one matvec and one subspace
     dimension m. Cached on the OperatorKernel so repeated solves reuse the

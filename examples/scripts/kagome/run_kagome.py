@@ -1,84 +1,115 @@
 """
-Ground state of the kagome-lattice Heisenberg antiferromagnet on a torus,
-in the half-filling SpinConserve sector with an optional XParity (Z2)
-symmetry layer — the spin-liquid workhorse computation.
+Kagome-lattice Heisenberg antiferromagnet on a torus: ground-state energy,
+spin gap, and nearest-neighbor spin correlations in the half-filling
+magnetization sector, with an optional XParity (Z2 spin-flip) layer — the
+spin-liquid workhorse computation (physics as in the reference study,
+examples/scripts/kagome/run_kagome.py; implementation reworked for this
+framework: sector-engine solve, correlation measurements, solver
+statistics, memory estimate).
 
-TPU-native port of the reference study (reference:
-examples/scripts/kagome/run_kagome.py).
-
-Usage: python run_kagome.py 12
+Usage:
+    python run_kagome.py            # the 12-site cluster
+    python run_kagome.py 27 --nev 4 --correlations
 """
 
+import sys
+import time
 from argparse import ArgumentParser
-from datetime import datetime
 
+from dynamite_tpu import config
 from dynamite_tpu.operators import sigmax, sigmay, sigmaz, op_sum
 from dynamite_tpu.subspaces import SpinConserve, XParity
+from dynamite_tpu import computations
+from dynamite_tpu.computations import eigsolve
 from dynamite_tpu.tools import mpi_print
 
 from lattice_library import kagome_clusters, basis_to_graph
 
 
-def heisenberg(i, j):
-    """Heisenberg interaction between sites i and j (0.25: Pauli -> spin)."""
-    return op_sum(0.25 * s(i) * s(j) for s in (sigmax, sigmay, sigmaz))
+def exchange(i, j, scale=0.25):
+    """S_i . S_j written in Pauli operators (scale 1/4 converts sigma to
+    spin-1/2 operators)."""
+    return scale * op_sum(s(i) * s(j) for s in (sigmax, sigmay, sigmaz))
 
 
-def build_hamiltonian(cluster_name):
-    _, edges = basis_to_graph(kagome_clusters[cluster_name])
-    return op_sum(heisenberg(i, j) for i, j in edges)
+def cluster_model(name):
+    """(H, edges): nearest-neighbor J=1 Heisenberg on the chosen torus
+    cluster."""
+    _, edges = basis_to_graph(kagome_clusters[name])
+    return op_sum(exchange(i, j) for i, j in edges), edges
 
 
-def main():
-    args = parse_args()
-
-    mpi_print('Heisenberg interaction on the Kagome lattice')
-    mpi_print(f'Cluster: {args.cluster}')
-
-    H = build_hamiltonian(args.cluster)
-    N = H.get_length()
-
-    subspace = SpinConserve(N, N // 2)
-
-    sector = None
-    if not args.no_z2 and N % 2 == 0:
-        # the sector containing the ground state depends on N % 4
-        sector = +1 if N % 4 == 0 else -1
-
-    if sector is None:
-        mpi_print('Not applying XParity (Z2) subspace')
-    else:
-        mpi_print(f'XParity (Z2) symmetry sector: {sector:+d}')
-        subspace = XParity(subspace, sector=sector)
-    mpi_print()
-
-    H.subspace = subspace
-
-    tick = datetime.now()
-    gs_energy, e1_energy = H.eigsolve(nev=2)[:2]
-    tock = datetime.now()
-
-    mpi_print(f'Ground state energy E: {gs_energy}')
-    mpi_print(f'E/N: {gs_energy / N}')
-    mpi_print()
-    gap = e1_energy - gs_energy
-    mpi_print(f'Gap: {gap}')
-    mpi_print(f'Gap/N: {gap / N}')
-    mpi_print()
-    mpi_print(f'Solve completed in {tock - tick}')
+def ground_state_sector(n_sites, use_z2):
+    """The symmetry sector expected to contain the ground state: total
+    magnetization zero, and — when the Z2 layer applies — the XParity
+    sector fixed by n_sites mod 4."""
+    sub = SpinConserve(n_sites, n_sites // 2)
+    if not use_z2 or n_sites % 2:
+        return sub, None
+    sector = +1 if n_sites % 4 == 0 else -1
+    return XParity(sub, sector=sector), sector
 
 
-def parse_args():
-    parser = ArgumentParser(
-        description='Solve for the ground state energy of the Heisenberg '
-                    'model on the Kagome lattice.')
-    parser.add_argument('cluster', default='12', nargs='?',
-                        help='which Kagome cluster to use '
-                             '(see lattice_library.py)')
-    parser.add_argument('--no-z2', action='store_true',
-                        help='do not apply XParity subspace')
-    return parser.parse_args()
+def main(argv=None):
+    args = parse_args(argv)
+
+    H, edges = cluster_model(args.cluster)
+    n = H.get_length()
+    sub, sector = ground_state_sector(n, not args.no_z2)
+
+    mpi_print(f'kagome cluster {args.cluster!r}: {n} sites, '
+              f'{len(edges)} bonds')
+    mpi_print(f'sector: {sub!r}' + (
+        '' if sector is None else f'  (Z2 sector {sector:+d})'))
+    H.subspace = sub
+    mpi_print(f'sector dimension: {sub.get_dimension()}, estimated device '
+              f'memory: {H.estimate_memory(ncv=40):.3f} GB')
+
+    t0 = time.perf_counter()
+    want_vecs = args.correlations
+    result = eigsolve(H, nev=args.nev, getvecs=want_vecs)
+    evals = result[0] if want_vecs else result
+    wall = time.perf_counter() - t0
+
+    e0 = float(evals[0])
+    mpi_print(f'E0 = {e0:.12f}   (E0/N = {e0 / n:.12f})')
+    if len(evals) > 1:
+        gap = float(evals[1]) - e0
+        mpi_print(f'gap = {gap:.12f}   (gap/N = {gap / n:.12f})')
+    stats = computations.last_solve_stats or {}
+    mpi_print(f'solve: {wall:.2f} s, {stats.get("matvecs", "?")} matvecs, '
+              f'{stats.get("restarts", "?")} restarts, '
+              f'{stats.get("verify_cycles", "?")} verification cycles')
+
+    if args.correlations:
+        # nearest-neighbor spin correlations <S_i . S_j> in the ground
+        # state: uniform values signal a liquid, strong bond alternation a
+        # valence-bond solid
+        gs = result[1][0]
+        mpi_print()
+        mpi_print('bond correlations <S_i . S_j>:')
+        for (i, j) in edges:
+            op = exchange(i, j)
+            op.subspace = sub
+            val = op.expectation(gs)
+            mpi_print(f'  ({i:2d},{j:2d}): {val:+.6f}')
+
+    return e0
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description=__doc__.splitlines()[1])
+    p.add_argument('cluster', default='12', nargs='?',
+                   help='Kagome cluster name (see lattice_library.py)')
+    p.add_argument('--nev', type=int, default=2,
+                   help='number of eigenpairs (default 2: energy + gap)')
+    p.add_argument('--no-z2', action='store_true',
+                   help='skip the XParity (Z2) symmetry layer')
+    p.add_argument('--correlations', action='store_true',
+                   help='also measure nearest-neighbor spin correlations '
+                        'in the ground state')
+    return p.parse_args(argv)
 
 
 if __name__ == '__main__':
-    main()
+    main(sys.argv[1:])

@@ -105,8 +105,12 @@ def test_example_kagome():
     out = run_script(
         ['run_kagome.py', '12'],
         cwd=os.path.join(REPO, 'examples/scripts/kagome'))
-    assert 'Ground state energy' in out
+    assert 'E0 = ' in out
     # known 12-site kagome Heisenberg ground state energy per site
+    checked = False
     for line in out.splitlines():
-        if line.startswith('E/N:'):
-            assert abs(float(line.split(':')[1]) - (-0.45374)) < 1e-4
+        if line.startswith('E0 = '):
+            e0n = float(line.split('E0/N =')[1].rstrip(')'))
+            assert abs(e0n - (-0.45374)) < 1e-4
+            checked = True
+    assert checked
