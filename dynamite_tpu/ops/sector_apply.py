@@ -284,8 +284,13 @@ class SectorPlan:
 
         # ---- finalize channels ------------------------------------------
         # column channels need the row gather index and a row scale (the
-        # validity mask times the rest-part Walsh sign)
-        self.col_channels = []   # (si, so, bidx|None, W|None, Mr, Mi|None)
+        # validity mask times the rest-part Walsh sign). Subgroups whose
+        # row scales agree up to a global sign merge into one channel with
+        # the sign folded into the matrix — e.g. the XX and YY parts of a
+        # boundary hop, whose sign bits sit inside the mask and are
+        # therefore constant on each channel.
+        pre = {}
+        pre_order = []
         for (si, so, mr, mt, s_r), M in colmm.items():
             if not np.any(np.abs(M) > 0):
                 continue
@@ -294,24 +299,63 @@ class SectorPlan:
             hr_b = hr_o ^ mr
             valid = popcount(hr_b) == kr_i
             bidx = np.where(valid, rank_r(np.where(valid, hr_b, 0)), 0)
-            w = (1 - 2.0 * parity(hr_b & s_r)) * valid
-            if mr == 0 and np.all(valid):
-                bidx_arr = None
+            w = ((1 - 2.0 * parity(hr_b & s_r)) * valid).astype(np.float64)
+            sign = 1.0
+            nzi = np.nonzero(w)[0]
+            if len(nzi) and w[nzi[0]] < 0:
+                sign = -1.0
+            wc = w * sign + 0.0  # +0.0 canonicalizes -0.0 on masked rows
+            bidx_arr = None if (mr == 0 and np.all(valid)) \
+                else bidx.astype(np.int32)
+            key = (si, so,
+                   None if bidx_arr is None else bidx_arr.tobytes(),
+                   wc.tobytes())
+            ent = pre.get(key)
+            if ent is None:
+                pre[key] = [bidx_arr, wc, sign * M]
+                pre_order.append(key)
             else:
-                bidx_arr = bidx.astype(np.int32)
-            W = None if np.all(w == 1.0) else w.astype(real_dtype)
+                ent[2] = ent[2] + sign * M
+
+        self.col_channels = []   # (si, so, bidx|None, W|None, Mr, Mi|None)
+        for key in pre_order:
+            si, so = key[0], key[1]
+            bidx_arr, wc, M = pre[key]
+            if not np.any(np.abs(M) > 0):
+                continue
+            W = None if np.all(wc == 1.0) else wc.astype(real_dtype)
             Mr = np.ascontiguousarray(M.real, dtype=real_dtype)
             Mi = np.ascontiguousarray(M.imag, dtype=real_dtype) \
                 if np.any(np.abs(M.imag) > 0) else None
             self.col_channels.append((si, so, bidx_arr, W, Mr, Mi))
 
-        self.row_channels = []   # (si, so, ca|None, Nr, Ni|None)
+        # row channels: same merging on the column scale
+        rpre = {}
+        rpre_order = []
         for (si, so, s_a), N in rowmm.items():
             if not np.any(np.abs(N) > 0):
                 continue
             sa_o = sa_of(lay.ka[so])
-            ca = 1 - 2.0 * parity(sa_o & s_a)
-            ca_arr = None if np.all(ca == 1.0) else ca.astype(real_dtype)
+            ca = (1 - 2.0 * parity(sa_o & s_a)).astype(np.float64)
+            sign = 1.0
+            if ca[0] < 0:
+                sign = -1.0
+            cc = ca * sign
+            key = (si, so, cc.tobytes())
+            ent = rpre.get(key)
+            if ent is None:
+                rpre[key] = [cc, sign * N]
+                rpre_order.append(key)
+            else:
+                ent[1] = ent[1] + sign * N
+
+        self.row_channels = []   # (si, so, ca|None, Nr, Ni|None)
+        for key in rpre_order:
+            si, so = key[0], key[1]
+            cc, N = rpre[key]
+            if not np.any(np.abs(N) > 0):
+                continue
+            ca_arr = None if np.all(cc == 1.0) else cc.astype(real_dtype)
             Nr = np.ascontiguousarray(N.real, dtype=real_dtype)
             Ni = np.ascontiguousarray(N.imag, dtype=real_dtype) \
                 if np.any(np.abs(N.imag) > 0) else None
@@ -463,6 +507,7 @@ def build_sector_apply(plan, left, right):
         dtype = x.dtype
         xs = [lax.slice(x, (0, off), (2, off + nb * na)).reshape(2, nb, na)
               for off, (nb, na) in zip(offs, shapes)]
+
         ys = [None] * len(secs)
 
         def add(so, v):
