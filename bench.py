@@ -73,7 +73,11 @@ STAGES = [
 EXTRA_STAGES = [
     ('full_L8', {'kind': 'full', 'L': 8, 'reps': 2}, 120),
     ('syk_N36', {'kind': 'syk', 'L': 18, 'reps': 3}, 600),
-    ('spinconserve_L28', {'kind': 'spinconserve', 'L': 28, 'reps': 20},
+    # scaling points for the sector engine: L=26 (dim 1.04e7) measured
+    # 12.0 ms / 2.26e10 nnz/s; L=28 (dim 4.0e7, 740 MB tables) ~81 ms
+    ('spinconserve_L26', {'kind': 'spinconserve', 'L': 26, 'reps': 20},
+     600),
+    ('spinconserve_L28', {'kind': 'spinconserve', 'L': 28, 'reps': 10},
      600),
 ]
 

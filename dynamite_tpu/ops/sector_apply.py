@@ -102,11 +102,14 @@ def table_bytes_estimate(plan, left, right):
     n_mr = len({_split_mask(int(g[0]), lbase.L, lay.La, lay.Lr)[1:2][0]
                 for g in plan.groups
                 if g[0] & ~((1 << lay.La) - 1)})
-    # low matrices (distinct per ka), high matrices (per sector pair),
-    # one cross matrix family per distinct high-rest mask, diagonal stream
-    low = int(np.sum(np.unique(na) ** 2))
-    high = int(np.sum(nb ** 2)) * 3
-    cross = (n_mr + 1) * int(np.sum(na ** 2))
+    # matrices are deduplicated by content across sectors: low matrices
+    # and cross matrices depend only on the low-half weight(s), so count
+    # unique na values, not per-sector copies; high (row) matrices are
+    # genuinely per sector pair (internal + two boundary families)
+    una = np.unique(na)
+    low = int(np.sum(una ** 2))
+    high = 3 * int(np.sum(nb ** 2))
+    cross = 2 * n_mr * int(np.sum(una ** 2))
     return cb * (low + high + cross + 2 * plan.dim_left)
 
 
