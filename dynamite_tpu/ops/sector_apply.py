@@ -365,31 +365,13 @@ class SectorPlan:
             self.row_channels.append((si, so, ca_arr, Nr, Ni))
 
         # ---- diagonal stream --------------------------------------------
+        # built on device in one jitted pass over the traced index map —
+        # the host equivalent moves O(nterms * dim) complex doubles and
+        # dominated the build at large L (the reference's
+        # PrecomputeDiagonal analog, bpetsc_template_1.c:169-202)
         self.diag = None
         if diag_terms:
-            D = np.zeros(self.dim, dtype=np.complex128)
-            for s in self.secs:
-                t_o = lay.t[s]
-                wr_cache = {}
-                hr_o = hr_of(lay.kr[s])
-                sa_o = sa_of(lay.ka[s])
-                block = np.zeros((len(hr_o), len(sa_o)),
-                                 dtype=np.complex128)
-                for c, sgn in diag_terms:
-                    st = (sgn >> (L - 1)) & 1
-                    sr = (sgn >> La) & ((1 << Lr) - 1)
-                    sa = sgn & ((1 << La) - 1)
-                    w_top = 1 - 2.0 * ((t_o * st) & 1)
-                    if sr not in wr_cache:
-                        wr_cache[sr] = 1 - 2.0 * parity(hr_o & sr)
-                    wa = 1 - 2.0 * parity(sa_o & sa)
-                    block += (c * w_top) * np.outer(wr_cache[sr], wa)
-                off = lay.off[s] - lay.off[self.secs[0]]
-                D[off:off + block.size] = block.reshape(-1)
-            Dr = np.ascontiguousarray(D.real, dtype=real_dtype)
-            Di = np.ascontiguousarray(D.imag, dtype=real_dtype) \
-                if np.any(np.abs(D.imag) > 0) else None
-            self.diag = (Dr, Di)
+            self.diag = _device_diagonal(plan, diag_terms, real_dtype)
 
         self._dedup()
 
@@ -436,6 +418,36 @@ class SectorPlan:
     @property
     def n_channels(self):
         return len(self.col_channels) + len(self.row_channels)
+
+
+def _device_diagonal(plan, diag_terms, real_dtype):
+    """(Dr, Di|None) host arrays of the diagonal field, computed on device:
+    D[row] = sum_t c_t (-1)^{pc(state(row) & s_t)}."""
+    import jax
+    from .apply import _iota
+    from .index_maps import parity_j
+
+    has_imag = any(abs(c.imag) > 0 for c, _s in diag_terms)
+
+    @jax.jit
+    def build():
+        rows = _iota(plan.dim_left, plan.int_dtype)
+        states = plan.row_states(rows)
+        dr = jnp.zeros(plan.dim_left, real_dtype)
+        di = jnp.zeros(plan.dim_left, real_dtype) if has_imag else None
+        for c, s in diag_terms:
+            w = (1 - 2 * parity_j(states & jnp.asarray(s, states.dtype))
+                 ).astype(real_dtype)
+            if c.real:
+                dr = dr + float(c.real) * w
+            if has_imag and c.imag:
+                di = di + float(c.imag) * w
+        return (dr, di) if has_imag else (dr,)
+
+    out = build()
+    Dr = np.asarray(out[0])
+    Di = np.asarray(out[1]) if has_imag else None
+    return (Dr, Di)
 
 
 def _precision():

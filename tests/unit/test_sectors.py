@@ -77,7 +77,7 @@ def test_sector_plan_channel_merge():
     L, k = 10, 5
     H = heisenberg(L)
     sub = SpinConserve(L, k)
-    sp = SectorPlan(_plan_for(H, sub), sub, sub, np.float64)
+    sp = SectorPlan(_plan_for(H, sub), sub, sub, np.float32)
     assert sp.conserved is True
     # cross channels (those with a row gather) come one per realizable
     # (si, so) pair — not one per sign subgroup
@@ -91,10 +91,10 @@ def test_sector_plan_conservation_flags():
     from dynamite_tpu.ops.sector_apply import SectorPlan
 
     sub = SpinConserve(8, 4)
-    sp = SectorPlan(_plan_for(heisenberg(8), sub), sub, sub, np.float64)
+    sp = SectorPlan(_plan_for(heisenberg(8), sub), sub, sub, np.float32)
     assert sp.conserved is True
     # transverse-field Ising does not conserve magnetization
-    sp2 = SectorPlan(_plan_for(ising(8), sub), sub, sub, np.float64)
+    sp2 = SectorPlan(_plan_for(ising(8), sub), sub, sub, np.float32)
     assert sp2.conserved is False
 
 
@@ -104,6 +104,6 @@ def test_table_bytes_nonzero():
     from dynamite_tpu.ops.sector_apply import SectorPlan
 
     sub = SpinConserve(10, 5)
-    sp = SectorPlan(_plan_for(heisenberg(10), sub), sub, sub, np.float64)
+    sp = SectorPlan(_plan_for(heisenberg(10), sub), sub, sub, np.float32)
     assert sp.table_bytes > 0
     assert sp.n_channels > 0
