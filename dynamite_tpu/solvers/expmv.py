@@ -60,8 +60,9 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None,
         Maximum number of substeps.
     stats : dict, optional
         Filled with solver counters: substeps, rejected_steps, matvecs,
-        host_syncs (device round-trips — each substep costs three: the
-        norm of w, the Lanczos alpha/beta fetch, and the residual norm).
+        host_syncs (device round-trips — ONE per substep: the fused
+        lanczos_step program returns the input norm, the tridiagonal
+        coefficients, and the residual-direction norm together).
 
     Returns
     -------
@@ -103,29 +104,27 @@ def expmv(kops, v, scale, anorm, ncv=30, tol=1e-7, max_its=None,
 
         tau = min(t_total - t_now, t_step)
 
-        beta = float(krylov.norm(w))
+        # one fused device program per substep: input norm, Lanczos
+        # factorization, and the residual-direction norm together, so the
+        # host loop pays a single device round trip
+        import jax
+        V, alpha, betas, beta_d, avnorm_d = kops.lanczos_step(w)
+        alpha_h, beta_h, beta, avnorm = jax.device_get(
+            (alpha, betas, beta_d, avnorm_d))
+        alpha_h = np.asarray(alpha_h, dtype=np.float64)
+        beta_h = np.asarray(beta_h, dtype=np.float64)
+        beta = float(beta)
+        avnorm = float(avnorm)
         stats['host_syncs'] += 1
+        stats['matvecs'] += m + 1
         if beta == 0:
             return w
-
-        V, alpha, betas = kops.lanczos(w / beta)
-        alpha_h = np.asarray(alpha, dtype=np.float64)
-        beta_h = np.asarray(betas, dtype=np.float64)
-        stats['host_syncs'] += 1
-        stats['matvecs'] += m
 
         # detect happy breakdown: the Krylov space closed early
         tiny = max(1e-14 * max(anorm, 1.0), 1e-300)
         breakdown = np.nonzero(beta_h[:m - 1] < tiny)[0]
         k_eff = int(breakdown[0]) + 1 if breakdown.size else m
         happy = breakdown.size > 0
-
-        # residual-direction norm for the second-order error term
-        avnorm = None
-        if not happy:
-            avnorm = float(kops.matvec_norm(V[m]))
-            stats['host_syncs'] += 1
-            stats['matvecs'] += 1
 
         # inner adaptive loop: shrink tau until the local error passes
         while True:

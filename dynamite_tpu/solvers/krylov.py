@@ -194,6 +194,19 @@ def orthonormalize_against(V, w, mask):
     return w / jnp.where(n > 0, n, 1)
 
 
+def lanczos_step(matvec, w, m):
+    """One fused expmv substep worth of device work: normalize w, run the
+    m-step Lanczos factorization, and compute ||A v_m|| for the Expokit
+    second-order error term — everything the host needs in ONE round trip
+    (the split version cost three device syncs per substep, each a DCN
+    round trip on a pod)."""
+    beta0 = _norm(w)
+    v0 = w / jnp.where(beta0 > 0, beta0, 1)
+    V, alpha, beta = lanczos(matvec, v0, m)
+    avnorm = _norm(matvec(V[m]))
+    return V, alpha, beta, beta0, avnorm
+
+
 class KrylovOps:
     """Compiled Krylov building blocks bound to one matvec and one subspace
     dimension m. Cached on the OperatorKernel so repeated solves reuse the
@@ -210,3 +223,4 @@ class KrylovOps:
         self.lanczos_restarted = hjit(
             lambda V, p: lanczos_restarted(matvec, V, p, m))
         self.matvec_norm = hjit(lambda v: _norm(matvec(v)))
+        self.lanczos_step = hjit(lambda w: lanczos_step(matvec, w, m))
