@@ -37,6 +37,7 @@ from jax import lax
 from ..utils.bitwise import parity
 
 MIN_DIM = 1 << 12     # below this, launch overhead dominates any engine
+CHANNEL_BATCH = 4     # channels per scan step (amortizes step dispatch)
 # modeled device throughputs for the La cost model (order-of-magnitude is
 # all that matters: the optimum is flat)
 _MXU_FLOPS = 40e12 / 3   # f32 via 3-pass bf16
@@ -65,11 +66,12 @@ def pick_split(groups, eff, nbits, budget, coeff_bytes):
             continue
         # MXU tile floor: matmuls below the (8, 128) f32 tile waste lanes
         flops = C * max(nh, 8) * max(na, 128) * na * 4
-        # 15 us/step measured on v5e (slice of the M stack + take + dot);
-        # the scan-step overhead is what pushes the optimum toward few
-        # large channels
+        # ~15 us/step measured on v5e (slice of the M stack + take + dot),
+        # amortized over the CHANNEL_BATCH channels each scan step carries;
+        # the step overhead is what pushes the optimum toward few large
+        # channels
         t = (flops / _MXU_FLOPS + (table + C * nh * na * 8) / _HBM_BPS
-             + C * 15e-6)
+             + (C / CHANNEL_BATCH) * 15e-6 + C * 2e-6)
         if best is None or t < best[0]:
             best = (t, La, C, table)
     return best
@@ -144,18 +146,28 @@ def build_xor_dense(plan, left, right):
     keys = sorted(chan.keys())
     C = len(keys)
     h = np.arange(nh, dtype=np.int64)
-    Ms = np.stack([chan[k].real for k in keys]).astype(real_dtype)
+    # pad the channel list to a multiple of the per-step batch; padded
+    # slots carry the identity permutation and a zero row sign, so they
+    # contribute nothing
+    KB = min(CHANNEL_BATCH, C)
+    C_pad = -(-C // KB) * KB
+    Ms = np.zeros((C_pad, na, na), dtype=real_dtype)
     has_imag = any(np.any(np.abs(chan[k].imag) > 0) for k in keys)
-    Mi = (np.stack([chan[k].imag for k in keys]).astype(real_dtype)
-          if has_imag else None)
-    rowidx = np.stack([(h ^ mh).astype(np.int32) for mh, _sh in keys])
-    wh = np.stack([(1.0 - 2.0 * parity(h & sh)).astype(real_dtype)
-                   for _mh, sh in keys])
+    Mi = np.zeros((C_pad, na, na), dtype=real_dtype) if has_imag else None
+    rowidx = np.tile(h.astype(np.int32), (C_pad, 1))
+    wh = np.zeros((C_pad, nh), dtype=real_dtype)
+    for i, k in enumerate(keys):
+        Ms[i] = chan[k].real
+        if has_imag:
+            Mi[i] = chan[k].imag
+        rowidx[i] = (h ^ k[0]).astype(np.int32)
+        wh[i] = 1.0 - 2.0 * parity(h & k[1])
 
-    Ms_d = jnp.asarray(Ms)
-    Mi_d = None if Mi is None else jnp.asarray(Mi)
-    rowidx_d = jnp.asarray(rowidx)
-    wh_d = jnp.asarray(wh)
+    S = C_pad // KB
+    Ms_d = jnp.asarray(Ms.reshape(S, KB, na, na))
+    Mi_d = None if Mi is None else jnp.asarray(Mi.reshape(S, KB, na, na))
+    rowidx_d = jnp.asarray(rowidx.reshape(S, KB, nh))
+    wh_d = jnp.asarray(wh.reshape(S, KB, nh))
     prec = lax.Precision.HIGHEST if cb == 8 else lax.Precision.HIGH
 
     def apply_fn(x):
@@ -163,28 +175,33 @@ def build_xor_dense(plan, left, right):
         xv = x.reshape(2, nh, na)
         y0 = jnp.zeros((2, nh, na), dtype)
 
-        if Mi_d is None:
-            def step(y, args):
+        def step(y, args):
+            if Mi_d is None:
                 M, ridx, w = args
-                src = jnp.take(xv, ridx, axis=1)
-                out = jnp.einsum('pha,oa->pho', src, M.astype(dtype),
-                                 precision=prec)
-                return y + out * w.astype(dtype)[None, :, None], None
-            xs = (Ms_d, rowidx_d, wh_d)
-        else:
-            def step(y, args):
+            else:
                 M, Mim, ridx, w = args
-                src = jnp.take(xv, ridx, axis=1)
-                Md = M.astype(dtype)
-                Mid = Mim.astype(dtype)
-                yr = jnp.einsum('ha,oa->ho', src[0], Md, precision=prec) \
-                    - jnp.einsum('ha,oa->ho', src[1], Mid, precision=prec)
-                yi = jnp.einsum('ha,oa->ho', src[1], Md, precision=prec) \
-                    + jnp.einsum('ha,oa->ho', src[0], Mid, precision=prec)
-                out = jnp.stack([yr, yi])
-                return y + out * w.astype(dtype)[None, :, None], None
-            xs = (Ms_d, Mi_d, rowidx_d, wh_d)
+            for j in range(KB):
+                src = jnp.take(xv, ridx[j], axis=1)
+                Md = M[j].astype(dtype)
+                if Mi_d is None:
+                    out = jnp.einsum('pha,oa->pho', src, Md,
+                                     precision=prec)
+                else:
+                    Mid = Mim[j].astype(dtype)
+                    yr = jnp.einsum('ha,oa->ho', src[0], Md,
+                                    precision=prec) \
+                        - jnp.einsum('ha,oa->ho', src[1], Mid,
+                                     precision=prec)
+                    yi = jnp.einsum('ha,oa->ho', src[1], Md,
+                                    precision=prec) \
+                        + jnp.einsum('ha,oa->ho', src[0], Mid,
+                                     precision=prec)
+                    out = jnp.stack([yr, yi])
+                y = y + out * w[j].astype(dtype)[None, :, None]
+            return y, None
 
+        xs = (Ms_d, rowidx_d, wh_d) if Mi_d is None \
+            else (Ms_d, Mi_d, rowidx_d, wh_d)
         y, _ = lax.scan(step, y0, xs)
         return y.reshape(2, plan.dim_left)
 
