@@ -99,9 +99,17 @@ def table_bytes_estimate(plan, left, right):
     cb = np.dtype(config.real_dtype).itemsize
     na = lay.na[secs]
     nb = lay.nb[secs]
-    n_mr = len({_split_mask(int(g[0]), lbase.L, lay.La, lay.Lr)[1:2][0]
-                for g in plan.groups
-                if g[0] & ~((1 << lay.La) - 1)})
+    # cross-matrix families: masks that TOUCH BOTH halves (high-only
+    # masks become row matrices, low-only ones merge into the shared
+    # column matrices), one family per distinct high-rest part
+    cross_mrs = set()
+    diag_imag = False
+    for m, _pm, _signs, coeffs in plan.groups:
+        mt, mr, ma = _split_mask(int(m), lbase.L, lay.La, lay.Lr)
+        if ma and (mr or mt):
+            cross_mrs.add(mr)
+        if m == 0 and np.any(np.abs(np.imag(coeffs)) > 0):
+            diag_imag = True
     # matrices are deduplicated by content across sectors: low matrices
     # and cross matrices depend only on the low-half weight(s), so count
     # unique na values, not per-sector copies; high (row) matrices are
@@ -109,8 +117,9 @@ def table_bytes_estimate(plan, left, right):
     una = np.unique(na)
     low = int(np.sum(una ** 2))
     high = 3 * int(np.sum(nb ** 2))
-    cross = 2 * n_mr * int(np.sum(una ** 2))
-    return cb * (low + high + cross + 2 * plan.dim_left)
+    cross = 2 * len(cross_mrs) * int(np.sum(una ** 2))
+    diag = (2 if diag_imag else 1) * plan.dim_left
+    return cb * (low + high + cross + diag)
 
 
 class SectorPlan:
