@@ -53,6 +53,9 @@ def ground_state_sector(n_sites, use_z2):
 def main(argv=None):
     args = parse_args(argv)
 
+    if args.precision is not None:
+        config.precision = args.precision
+
     H, edges = cluster_model(args.cluster)
     n = H.get_length()
     sub, sector = ground_state_sector(n, not args.no_z2)
@@ -67,7 +70,7 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     want_vecs = args.correlations
-    result = eigsolve(H, nev=args.nev, getvecs=want_vecs)
+    result = eigsolve(H, nev=args.nev, getvecs=want_vecs, ncv=args.ncv)
     evals = result[0] if want_vecs else result
     wall = time.perf_counter() - t0
 
@@ -108,6 +111,13 @@ def parse_args(argv=None):
     p.add_argument('--correlations', action='store_true',
                    help='also measure nearest-neighbor spin correlations '
                         'in the ground state')
+    p.add_argument('--precision', choices=('single', 'double'),
+                   default=None,
+                   help="override config.precision ('single' is the fast "
+                        'path on TPU; see docs/performance.md)')
+    p.add_argument('--ncv', type=int, default=None,
+                   help='Krylov space dimension (smaller fits bigger '
+                        'clusters in device memory)')
     return p.parse_args(argv)
 
 
