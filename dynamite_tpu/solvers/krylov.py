@@ -179,8 +179,15 @@ norm = jax.jit(_norm)
 @jax.jit
 def recombine_basis(V, C):
     """New basis rows Y_p = sum_k C[p, k] V[k] (real coefficients, e.g. the
-    eigenvectors of the tridiagonal projection in a thick restart)."""
-    return jnp.einsum('pk,kri->pri', C, V)
+    eigenvectors of the tridiagonal projection in a thick restart).
+
+    Written as a plain 2-D matmul over the flattened basis: the einsum
+    form lowered through a transposed (1, dim) intermediate whose
+    (8, 128) tiling padded 76 MB to 9.6 GB at dim 2e7 (an XLA remat/
+    layout pathology, see docs/performance.md)."""
+    m1 = V.shape[0]
+    flat = V.reshape(m1, -1)
+    return (C @ flat).reshape(V.shape)
 
 
 @jax.jit
