@@ -367,20 +367,26 @@ def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
     h2states = [H.dot(w) for w in hstates]
 
     @jax.jit
-    def _grams(V, W):
-        # complex Gram matrices over stacked-real bases V, W: (n, 2, dim)
+    def _grams(vs, ws):
+        # complex Gram matrices over stacked-real bases: lists of (2, dim).
+        # The stack happens inside the traced program (an eager jnp.stack
+        # here intermittently aborted the XLA CPU client in full-suite
+        # runs), and the contraction runs over the LAST axis of both
+        # operands — the layout-safe form (see solvers/krylov._basis_dots).
+        V = jnp.stack(vs)
+        W = jnp.stack(ws)
+
         def gram(X, Y):
-            re = X[:, 0, :] @ Y[:, 0, :].T + X[:, 1, :] @ Y[:, 1, :].T
-            im = X[:, 0, :] @ Y[:, 1, :].T - X[:, 1, :] @ Y[:, 0, :].T
-            return re, im
+            G = jnp.einsum('kpd,lqd->kplq', X, Y)
+            return (G[:, 0, :, 0] + G[:, 1, :, 1],
+                    G[:, 0, :, 1] - G[:, 1, :, 0])
         return gram(V, W), gram(V, V)
 
     basis = states + hstates
     hbasis = hstates + h2states
     n = len(basis)
-    V = jnp.stack([v.data for v in basis])
-    W = jnp.stack([h.data for h in hbasis])
-    (Are, Aim), (Bre, Bim) = jax.device_get(_grams(V, W))
+    (Are, Aim), (Bre, Bim) = jax.device_get(
+        _grams([v.data for v in basis], [h.data for h in hbasis]))
     A = np.asarray(Are, dtype=np.float64) + 1j * np.asarray(Aim, np.float64)
     B = np.asarray(Bre, dtype=np.float64) + 1j * np.asarray(Bim, np.float64)
 

@@ -58,17 +58,32 @@ def check_workspace_fits(dim, ncv, n_devices, context):
 
 def _basis_dots(V, w, upto_mask):
     """Complex inner products <V_k | w> for all k, masked beyond the active
-    basis size. V: (m, 2, dim); w: (2, dim). Returns (re, im) of shape (m,)."""
-    re = V[:, 0, :] @ w[0] + V[:, 1, :] @ w[1]
-    im = V[:, 0, :] @ w[1] - V[:, 1, :] @ w[0]
+    basis size. V: (m, 2, dim); w: (2, dim). Returns (re, im) of shape (m,).
+
+    Formulation note (TPU layouts): both operands contract on their LAST
+    axis and no operand or result has a narrow (<8) minormost dimension on
+    the big axis. The plane-sliced `V[:, 0, :] @ w[0]` form lowered through
+    (dim, 1)-shaped operands whose (8, 128)-tiled layouts padded a state
+    vector 128x (measured 6.6 GB of temps at dim 2^24, m=40; this form
+    measures zero)."""
+    m = V.shape[0]
+    Vv = V.reshape(m * 2, V.shape[-1])
+    D = lax.dot_general(Vv, w, (((1,), (1,)), ((), ())))
+    D = D.reshape(m, 2, 2)
+    re = D[:, 0, 0] + D[:, 1, 1]
+    im = D[:, 0, 1] - D[:, 1, 0]
     return re * upto_mask, im * upto_mask
 
 
 def _basis_combine(V, cr, ci):
-    """sum_k (cr_k + i ci_k) V_k. Returns (2, dim)."""
-    wr = cr @ V[:, 0, :] - ci @ V[:, 1, :]
-    wi = cr @ V[:, 1, :] + ci @ V[:, 0, :]
-    return jnp.stack([wr, wi])
+    """sum_k (cr_k + i ci_k) V_k. Returns (2, dim).
+
+    The (2, 2, m) coefficient tensor contracts over (q, k) while the basis
+    keeps its native (m, 2, dim) layout — no reshape of V (an in-program
+    reshape of the basis materializes a sublane-padded flat copy, measured
+    6.4 GB at dim 2^24) and no narrow-minormost intermediate."""
+    C = jnp.stack([jnp.stack([cr, -ci]), jnp.stack([ci, cr])])
+    return jnp.einsum('pqk,kqd->pd', C, V)
 
 
 def _orthogonalize(V, w, upto_mask):
@@ -181,13 +196,11 @@ def recombine_basis(V, C):
     """New basis rows Y_p = sum_k C[p, k] V[k] (real coefficients, e.g. the
     eigenvectors of the tridiagonal projection in a thick restart).
 
-    Written as a plain 2-D matmul over the flattened basis: the einsum
-    form lowered through a transposed (1, dim) intermediate whose
-    (8, 128) tiling padded 76 MB to 9.6 GB at dim 2e7 (an XLA remat/
-    layout pathology, see docs/performance.md)."""
-    m1 = V.shape[0]
-    flat = V.reshape(m1, -1)
-    return (C @ flat).reshape(V.shape)
+    Contracts k against the basis's native (m, 2, dim) layout. (An earlier
+    revision flattened V to (m1, 2*dim) first; on TPU that reshape
+    materializes a sublane-padded copy of the whole basis — see
+    docs/performance.md on the (8, 128)-tiling layout pathology.)"""
+    return jnp.einsum('pk,kqd->pqd', C, V)
 
 
 @jax.jit
