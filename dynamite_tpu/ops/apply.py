@@ -752,12 +752,29 @@ class OperatorKernel:
                              in_specs=P(None, axis), out_specs=P(None, axis))
 
     def _try_sector_sharded(self, sdim_left):
-        """The sector MXU engine on the mesh, GSPMD-partitioned: the global
-        per-sector matmul program is expressed once over the (padded)
-        sharded state and XLA's SPMD partitioner inserts the collectives —
-        the scaling-book recipe (annotate shardings, let XLA place the
-        all-gathers) instead of the reference's hand-rolled
-        VecScatterCreateToAll (bcuda_template_2.cu:141-172)."""
+        """The sector MXU engine on the mesh.
+
+        Default: the explicit shard_map ring program (ops/sector_shard.py)
+        whose per-device peak memory is O(dim/n_devices + one exchange
+        window) — the memory-scaling distributed SpinConserve path that
+        beats both the reference's multi-GPU allgather
+        (bcuda_template_2.cu:164-171) and its streaming CPU protocol
+        (bpetsc_template_2.c:413-504).
+
+        ``config.sector_shard_ring = False`` falls back to the GSPMD-
+        partitioned global program (correct, but the partitioner
+        materializes ~4.4x one full input in per-device temps)."""
+        from .. import config
+        if getattr(config, 'sector_shard_ring', True):
+            from .sector_shard import build_sector_sharded
+            fn, sp = build_sector_sharded(self.plan, self.left, self.right,
+                                          self.mesh)
+            if fn is not None:
+                self.conserves_hint = sp.conserved
+                self.sector_plan = sp
+                return fn
+            return None
+
         from .sector_apply import build_sector_apply
         plan = self.plan
         fn, sp = build_sector_apply(plan, self.left, self.right)
