@@ -65,13 +65,26 @@ STAGES = [
     # XOR-dense channel engine with tables resident
     ('syk_N32', {'kind': 'syk', 'L': 16, 'reps': 10}, 420),
     ('evolve_L20', {'kind': 'evolve', 'L': 20}, 300),
+    # the BASELINE north-star solver metrics at L=24: Lanczos ground state
+    # in the half-filling sector + half-chain entanglement entropy of the
+    # ground state (reference harness: benchmarking/benchmark.py:244-313)
+    ('eigsolve_L24', {'kind': 'eigsolve_sc', 'L': 24}, 600),
+    # expmv wall time at L=24 (full space, the Pallas kernel inside the
+    # fused Lanczos substep)
+    ('evolve_L24', {'kind': 'evolve', 'L': 24}, 600),
     # double precision on hardware: Lanczos ground state + device residual
     ('double_L16', {'kind': 'double_eig', 'L': 16}, 420),
+    # double precision at production scale: the sector MXU engine in f64
+    # (SpinConserve half filling, dim 705,432)
+    ('double_L22', {'kind': 'double_eig_sc', 'L': 22}, 600),
 ]
 
 # selectable by name only (e.g. `python bench.py full_L8` in CI)
 EXTRA_STAGES = [
     ('full_L8', {'kind': 'full', 'L': 8, 'reps': 2}, 120),
+    ('syk_N40', {'kind': 'syk', 'L': 20, 'reps': 5,
+                 'budget': 11 << 30}, 600),
+    ('longrange_L24', {'kind': 'longrange_sc', 'L': 24, 'reps': 20}, 600),
     ('syk_N36', {'kind': 'syk', 'L': 18, 'reps': 3}, 600),
     # scaling points for the sector engine: L=26 (dim 1.04e7) measured
     # 12.0 ms / 2.26e10 nnz/s; L=28 (dim 4.0e7, 740 MB tables) ~81 ms
@@ -219,7 +232,7 @@ def stage_spinconserve(L, reps):
     return result
 
 
-def stage_syk(L, reps):
+def stage_syk(L, reps, budget=None):
     """SYK with 2L Majorana modes: many mask groups -> the XOR-blocked
     dense channel engine (ops/xor_dense.py)."""
     import jax.numpy as jnp
@@ -229,6 +242,8 @@ def stage_syk(L, reps):
 
     config.precision = 'single'
     config.L = L
+    if budget:
+        config.ell_budget = int(budget)
     config._initialize()
 
     H = _normalized(syk(L))
@@ -299,6 +314,145 @@ def stage_double_eig(L):
     }
 
 
+def stage_eigsolve_sc(L):
+    """BASELINE north-star solver metrics at L=24: MBL-Heisenberg ground
+    state in the half-filling SpinConserve sector (sector MXU engine inside
+    thick-restart Lanczos), plus the half-chain entanglement entropy of the
+    ground state (RDM phase; reference benchmark.py's eigsolve+RDM
+    phases)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dynamite_tpu import config
+    from dynamite_tpu.models import localized
+    from dynamite_tpu.subspaces import SpinConserve
+    from dynamite_tpu.computations import (eigsolve, entanglement_entropy,
+                                           last_solve_stats)
+
+    config.precision = 'single'
+    config.L = L
+    config._initialize()
+
+    H = localized(L)
+    sub = SpinConserve(L, L // 2)
+    H.add_subspace(sub)
+
+    t0 = time.perf_counter()
+    evals, evecs = eigsolve(H, nev=1, getvecs=True)
+    wall_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    evals, evecs = eigsolve(H, nev=1, getvecs=True)
+    wall = time.perf_counter() - t0
+    from dynamite_tpu import computations
+    stats = computations.last_solve_stats
+
+    # device-side residual certificate
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+    dim = sub.get_dimension()
+    v = evecs[0].data[:, :dim]
+    hv = fn(v)
+    lam = float(evals[0])
+    resid = float(jnp.linalg.norm(hv - lam * v)) / max(abs(lam), 1e-300)
+
+    t0 = time.perf_counter()
+    S = float(entanglement_entropy(evecs[0], keep=range(L // 2)))
+    entropy_s = time.perf_counter() - t0
+
+    return {
+        'eigsolve_s': wall,
+        'eigsolve_cold_s': wall_cold,
+        'matvecs': stats.get('matvecs'),
+        'restarts': stats.get('restarts'),
+        'eval0': lam,
+        'relative_residual': resid,
+        'entropy_half_chain': S,
+        'entropy_s': entropy_s,
+        'dim': dim,
+    }
+
+
+def stage_double_eig_sc(L):
+    """Double precision at production scale: MBL ground state in the
+    half-filling sector through the sector MXU engine in f64, with the
+    device residual as the 1e-10-class certificate (the reference's
+    default build is complex128 throughout, petsc_config/complex-opt.py)."""
+    import jax.numpy as jnp
+    from dynamite_tpu import config
+    from dynamite_tpu.models import localized
+    from dynamite_tpu.subspaces import SpinConserve
+    from dynamite_tpu.computations import eigsolve
+
+    config.precision = 'double'
+    config.L = L
+    config._initialize()
+
+    H = localized(L)
+    sub = SpinConserve(L, L // 2)
+    H.add_subspace(sub)
+
+    t0 = time.perf_counter()
+    evals, evecs = eigsolve(H, nev=1, getvecs=True, tol=1e-12)
+    wall_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    evals, evecs = eigsolve(H, nev=1, getvecs=True, tol=1e-12)
+    wall = time.perf_counter() - t0
+
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+    dim = sub.get_dimension()
+    v = evecs[0].data[:, :dim]
+    hv = fn(v)
+    lam = float(evals[0])
+    resid = float(jnp.linalg.norm(hv - lam * v)) / max(abs(lam), 1e-300)
+    return {
+        'eigsolve_s': wall,
+        'eigsolve_cold_s': wall_cold,
+        'eval0': lam,
+        'relative_residual': resid,
+        'dim': dim,
+        'precision': 'double',
+    }
+
+
+def stage_longrange_sc(L, reps):
+    """Long-range XXZ in the half-filling sector: O(L^2) mask groups —
+    the >512-group sector-engine regime (SECTOR_GROUP_LIMIT)."""
+    import jax.numpy as jnp
+    from dynamite_tpu import config
+    from dynamite_tpu.models import long_range
+    from dynamite_tpu.subspaces import SpinConserve
+
+    config.precision = 'single'
+    config.L = L
+    config._initialize()
+
+    H = _normalized(long_range(L))
+    H.allow_projection = True
+    sub = SpinConserve(L, L // 2)
+    H.add_subspace(sub)
+    kernel = H.get_mat(subspaces=(sub, sub))
+    fn = kernel.traceable(sharded=False)
+
+    dim = sub.get_dimension()
+    x = _random_state(dim, jnp.float32)
+    elapsed, compile_s, trace_s = _timed_loop(fn, x, reps)
+    nnz = dim * H.nnz
+    result = {
+        'nnz_per_sec': nnz * reps / elapsed,
+        'ms_per_apply': elapsed / reps * 1e3,
+        'compile_s': compile_s,
+        'trace_s': trace_s,
+        'dim': dim,
+        'groups': len(kernel.plan.groups),
+        'engine': 'sector' if kernel.sector_plan is not None else 'other',
+    }
+    if kernel.sector_plan is not None:
+        result['sector_channels'] = kernel.sector_plan.n_channels
+        result['sector_table_mb'] = round(
+            kernel.sector_plan.table_bytes / 1e6, 2)
+    return result
+
+
 def stage_evolve(L):
     """End-to-end evolve() wall time (Expokit-style stepping, Lanczos inner
     loop) on the MBL chain at t=1.0."""
@@ -338,9 +492,12 @@ def stage_evolve(L):
 KINDS = {
     'full': lambda p: stage_full(p['L'], p['reps']),
     'spinconserve': lambda p: stage_spinconserve(p['L'], p['reps']),
-    'syk': lambda p: stage_syk(p['L'], p['reps']),
+    'syk': lambda p: stage_syk(p['L'], p['reps'], p.get('budget')),
     'evolve': lambda p: stage_evolve(p['L']),
     'double_eig': lambda p: stage_double_eig(p['L']),
+    'eigsolve_sc': lambda p: stage_eigsolve_sc(p['L']),
+    'double_eig_sc': lambda p: stage_double_eig_sc(p['L']),
+    'longrange_sc': lambda p: stage_longrange_sc(p['L'], p['reps']),
 }
 
 

@@ -377,7 +377,14 @@ def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
         W = jnp.stack(ws)
 
         def gram(X, Y):
-            G = jnp.einsum('kpd,lqd->kplq', X, Y)
+            if X.dtype == jnp.float64:
+                # emulated f64 dot_general degrades with contraction
+                # length on TPU (see solvers/krylov._basis_dots); the
+                # fused multiply+reduce stays at ~1e-14
+                G = jnp.sum(X[:, :, None, None, :] * Y[None, None, :, :, :],
+                            axis=-1)
+            else:
+                G = jnp.einsum('kpd,lqd->kplq', X, Y)
             return (G[:, 0, :, 0] + G[:, 1, :, 1],
                     G[:, 0, :, 1] - G[:, 1, :, 0])
         return gram(V, W), gram(V, V)

@@ -527,35 +527,43 @@ def build_sector_apply(plan, left, right):
             yi = yi + jnp.einsum('ob,ba->oa', Ni, src[0], precision=prec)
         return jnp.stack([yr, yi])
 
+    # channels grouped by output sector: the apply finalizes one output
+    # block at a time through a dynamic_update_slice chain, so XLA cannot
+    # keep hundreds of sector-sized channel outputs live simultaneously
+    # (unordered accumulation OOMed at 16.3 GB on the 450-channel 27-site
+    # kagome, dim 2.0e7 — the per-block peak is a handful of blocks)
+    by_out = {o: ([], []) for o in range(len(secs))}
+    for ch in col_channels:
+        by_out[ch[1]][0].append(ch)
+    for ch in row_channels:
+        by_out[ch[1]][1].append(ch)
+
     def apply_fn(x):
         dtype = x.dtype
         xs = [lax.slice(x, (0, off), (2, off + nb * na)).reshape(2, nb, na)
               for off, (nb, na) in zip(offs, shapes)]
 
-        ys = [None] * len(secs)
-
-        def add(so, v):
-            ys[so] = v if ys[so] is None else ys[so] + v
-
-        for si, so, bidx, W, Mr, Mi in col_channels:
-            src = xs[si]
-            if bidx is not None:
-                src = jnp.take(src, bidx, axis=1)
-            out = cplx_col(src, Mr, Mi).astype(dtype)
-            if W is not None:
-                out = out * W[None, :, None].astype(dtype)
-            add(so, out)
-
-        for si, so, ca, Nr, Ni in row_channels:
-            out = cplx_row(Nr, Ni, xs[si]).astype(dtype)
-            if ca is not None:
-                out = out * ca[None, None, :].astype(dtype)
-            add(so, out)
-
-        flat = [jnp.zeros((2, nb * na), dtype) if y is None
-                else y.reshape(2, nb * na)
-                for y, (nb, na) in zip(ys, shapes)]
-        y = flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=1)
+        y = jnp.zeros((2, dim), dtype)
+        for so in range(len(secs)):
+            cols, rows = by_out[so]
+            if not cols and not rows:
+                continue
+            acc = None
+            for si, _so, bidx, W, Mr, Mi in cols:
+                src = xs[si]
+                if bidx is not None:
+                    src = jnp.take(src, bidx, axis=1)
+                out = cplx_col(src, Mr, Mi).astype(dtype)
+                if W is not None:
+                    out = out * W[None, :, None].astype(dtype)
+                acc = out if acc is None else acc + out
+            for si, _so, ca, Nr, Ni in rows:
+                out = cplx_row(Nr, Ni, xs[si]).astype(dtype)
+                if ca is not None:
+                    out = out * ca[None, None, :].astype(dtype)
+                acc = out if acc is None else acc + out
+            y = lax.dynamic_update_slice(
+                y, acc.reshape(2, -1), (0, offs[so]))
 
         if diag is not None:
             Dr, Di = diag

@@ -68,7 +68,15 @@ def _basis_dots(V, w, upto_mask):
     measures zero)."""
     m = V.shape[0]
     Vv = V.reshape(m * 2, V.shape[-1])
-    D = lax.dot_general(Vv, w, (((1,), (1,)), ((), ())))
+    if V.dtype == jnp.float64:
+        # TPU's emulated f64 dot_general loses precision with contraction
+        # length (measured on v5e: 2.4e-15 rel at K=2^16 but 4.5e-10 at
+        # K=705432 and 1.7e-7 at K=2^21); the broadcast-multiply+reduce
+        # lowering stays at ~1e-14 independent of K, and for these
+        # bandwidth-bound dots the MXU brings nothing anyway
+        D = jnp.sum(Vv[:, None, :] * w[None, :, :], axis=-1)
+    else:
+        D = lax.dot_general(Vv, w, (((1,), (1,)), ((), ())))
     D = D.reshape(m, 2, 2)
     re = D[:, 0, 0] + D[:, 1, 1]
     im = D[:, 0, 1] - D[:, 1, 0]

@@ -110,3 +110,52 @@ def MPI_COMM_WORLD():
                 multihost_utils.sync_global_devices('barrier')
 
     return _Comm()
+
+
+def spectral_site_order(n_sites, edges):
+    """A site relabeling that clusters strongly-coupled sites into the same
+    bit half — recursive spectral (Fiedler-vector) bisection of the
+    interaction graph.
+
+    The sector MXU engine (ops/sector_apply.py) merges every interaction
+    bond confined to the low bit half into shared per-sector column
+    matrices and every bond confined to the high bits into shared row
+    matrices, while each bond CROSSING the half boundary spawns its own
+    channel family (tables and matmuls proportional to the number of
+    distinct crossing masks). Site labels are physically arbitrary, so
+    relabeling by this ordering minimizes the crossing count — on the
+    27-site kagome torus it cuts crossing bonds from 28 to 12 and the
+    matvec cost correspondingly. The same trick serves any engine keyed on
+    bit locality (the reference has no analog: its kernels are
+    order-insensitive CSR sweeps, bpetsc_template_2.c:371-504).
+
+    Parameters
+    ----------
+    n_sites : int
+    edges : iterable of (i, j) site pairs (weights ignored)
+
+    Returns
+    -------
+    relabel : numpy int array, ``relabel[old_site] = new_site``
+    """
+    edges = [(int(i), int(j)) for i, j in edges]
+
+    def order(nodes, depth=0):
+        m = len(nodes)
+        if m <= 2 or depth > 10:
+            return list(nodes)
+        idx = {v: k for k, v in enumerate(nodes)}
+        A = np.zeros((m, m))
+        for i, j in edges:
+            if i in idx and j in idx:
+                A[idx[i], idx[j]] = A[idx[j], idx[i]] = 1
+        L = np.diag(A.sum(1)) - A
+        _w, V = np.linalg.eigh(L)
+        srt = [nodes[k] for k in np.argsort(V[:, 1])]
+        half = m // 2
+        return order(srt[:half], depth + 1) + order(srt[half:], depth + 1)
+
+    nodes = order(list(range(int(n_sites))))
+    relabel = np.empty(n_sites, dtype=np.int64)
+    relabel[np.asarray(nodes)] = np.arange(n_sites)
+    return relabel

@@ -32,11 +32,24 @@ def exchange(i, j, scale=0.25):
     return scale * op_sum(s(i) * s(j) for s in (sigmax, sigmay, sigmaz))
 
 
-def cluster_model(name):
-    """(H, edges): nearest-neighbor J=1 Heisenberg on the chosen torus
-    cluster."""
+def cluster_model(name, relabel=True):
+    """(H, edges, labels): nearest-neighbor J=1 Heisenberg on the chosen
+    torus cluster. With ``relabel`` (default), sites are renamed by
+    tools.spectral_site_order so bonds cluster within bit halves — the
+    sector engine then merges most bonds into shared matrices (27-site
+    torus: 28 -> 12 half-crossing bonds). ``edges`` is in the relabeled
+    site names; ``labels[new] = old`` recovers the lattice-library names
+    for reporting."""
     _, edges = basis_to_graph(kagome_clusters[name])
-    return op_sum(exchange(i, j) for i, j in edges), edges
+    n = 1 + max(max(i, j) for i, j in edges)
+    if relabel:
+        from dynamite_tpu.tools import spectral_site_order
+        to_new = spectral_site_order(n, edges)
+        edges = [(int(to_new[i]), int(to_new[j])) for i, j in edges]
+        labels = {int(to_new[o]): o for o in range(n)}
+    else:
+        labels = {i: i for i in range(n)}
+    return op_sum(exchange(i, j) for i, j in edges), edges, labels
 
 
 def ground_state_sector(n_sites, use_z2):
@@ -56,7 +69,8 @@ def main(argv=None):
     if args.precision is not None:
         config.precision = args.precision
 
-    H, edges = cluster_model(args.cluster)
+    H, edges, labels = cluster_model(
+        args.cluster, relabel=not args.no_relabel)
     n = H.get_length()
     sub, sector = ground_state_sector(n, not args.no_z2)
 
@@ -70,7 +84,8 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     want_vecs = args.correlations
-    result = eigsolve(H, nev=args.nev, getvecs=want_vecs, ncv=args.ncv)
+    result = eigsolve(H, nev=args.nev, getvecs=want_vecs, ncv=args.ncv,
+                      tol=args.tol)
     evals = result[0] if want_vecs else result
     wall = time.perf_counter() - t0
 
@@ -95,7 +110,8 @@ def main(argv=None):
             op = exchange(i, j)
             op.subspace = sub
             val = op.expectation(gs)
-            mpi_print(f'  ({i:2d},{j:2d}): {val:+.6f}')
+            oi, oj = labels[i], labels[j]
+            mpi_print(f'  ({oi:2d},{oj:2d}): {val:+.6f}')
 
     return e0
 
@@ -108,6 +124,9 @@ def parse_args(argv=None):
                    help='number of eigenpairs (default 2: energy + gap)')
     p.add_argument('--no-z2', action='store_true',
                    help='skip the XParity (Z2) symmetry layer')
+    p.add_argument('--no-relabel', action='store_true',
+                   help='keep the lattice-library site order instead of '
+                        'the sector-friendly spectral reordering')
     p.add_argument('--correlations', action='store_true',
                    help='also measure nearest-neighbor spin correlations '
                         'in the ground state')
@@ -115,6 +134,8 @@ def parse_args(argv=None):
                    default=None,
                    help="override config.precision ('single' is the fast "
                         'path on TPU; see docs/performance.md)')
+    p.add_argument('--tol', type=float, default=None,
+                   help='residual tolerance (default: precision-dependent)')
     p.add_argument('--ncv', type=int, default=None,
                    help='Krylov space dimension (smaller fits bigger '
                         'clusters in device memory)')
