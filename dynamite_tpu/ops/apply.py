@@ -48,6 +48,9 @@ UNROLL_TERM_LIMIT = 512
 # lax.scan): XLA fuses the whole group sweep within a chunk-sized body but
 # falls off a fusion cliff on full-size buffers (measured 130x at L=24)
 CHUNK_BITS = 20
+# gathered-input size above which the sharded general path switches from
+# all_gather to the memory-scaling ring exchange (per-device bytes)
+RING_GENERAL_BYTES = 1 << 31
 # block size for the production Pallas kernel: measured on TPU v5e at L=24
 # (MBL): 2**16 -> 3.79 ms/apply vs 5.73 ms at 2**13 — bigger blocks mean
 # fewer distinct block-level mask offsets ("runs"), i.e. less HBM traffic,
@@ -679,6 +682,9 @@ class OperatorKernel:
 
         if plan.use_scan:
             chunked = _chunked_arrays(plan.groups)
+            if self._ring_general_wanted():
+                return self._build_sharded_ring_general(
+                    sdim_left, local_left, chunked)
         else:
             chunked = None
 
@@ -750,6 +756,100 @@ class OperatorKernel:
 
         return jax.shard_map(local_fn, mesh=mesh,
                              in_specs=P(None, axis), out_specs=P(None, axis))
+
+    def _ring_general_wanted(self):
+        """Whether the scan-path general matvec should ring-exchange the
+        input instead of all-gathering it: forced by
+        ``config.sharded_ring_general``, else automatic once a gathered
+        input would exceed RING_GENERAL_BYTES per device."""
+        from .. import config
+        forced = getattr(config, 'sharded_ring_general', None)
+        if forced is not None:
+            return bool(forced)
+        from ..parallel.mesh import storage_dim
+        cb = np.dtype(config.real_dtype).itemsize
+        sdim_right = storage_dim(self.plan.dim_right, self.mesh)
+        return 2 * sdim_right * cb > RING_GENERAL_BYTES
+
+    def _build_sharded_ring_general(self, sdim_left, local_left, chunked):
+        """Memory-scaling general matvec for arbitrary subspace pairs: the
+        sharded input circulates around the mesh ring and each device
+        accumulates the contributions whose source column falls inside the
+        passing block, so per-device resident memory is O(dim/n_devices +
+        one block) instead of the all-gather's O(dim). The group sweep
+        reruns once per ring step (n_devices x the arithmetic of the
+        all-gather path) — the same streaming-vs-memory trade the
+        reference's multi-rank CPU protocol makes
+        (bpetsc_template_2.c:413-504), without its MPI_Allreduce(BAND)
+        termination rounds."""
+        from ..parallel.mesh import storage_dim
+        plan = self.plan
+        mesh = self.mesh
+        nd = mesh.devices.size
+        axis = mesh.axis_names[0]
+        sdim_right = storage_dim(plan.dim_right, mesh)
+        local_right = sdim_right // nd
+        has_pad = local_left * nd != plan.dim_left
+        masks_c, signs_c, cr_c, ci_c = chunked
+        perm = [(i, (i + 1) % nd) for i in range(nd)]
+
+        def local_fn(x_local):
+            dtype = x_local.dtype
+            idt = plan.int_dtype
+            me = lax.axis_index(axis).astype(idt)
+            rows = _iota(local_left, idt) + me * jnp.asarray(local_left,
+                                                            idt)
+            if has_pad:
+                valid_row = (rows < plan.dim_left).astype(dtype)
+                rows = jnp.minimum(rows, plan.dim_left - 1)
+            row_states = plan.row_states(rows)
+
+            masks_d = jnp.asarray(masks_c, idt)
+            signs_d = jnp.asarray(signs_c, idt)
+            cr_d = jnp.asarray(cr_c, dtype)
+            ci_d = jnp.asarray(ci_c, dtype)
+            y0 = jnp.zeros((2, local_left), dtype)
+            if hasattr(lax, 'pcast'):
+                y0 = lax.pcast(y0, (axis,), to='varying')
+            elif hasattr(lax, 'pvary'):
+                y0 = lax.pvary(y0, (axis,))
+
+            def ring_step(r, carry):
+                block, y = carry
+                base = (((me - r.astype(idt)) % jnp.asarray(nd, idt))
+                        * jnp.asarray(local_right, idt))
+
+                def step(y, args):
+                    m, signs, cr, ci = args
+                    bra = row_states ^ m
+                    w = (1 - 2 * parity_j(bra[:, None] & signs[None, :])
+                         ).astype(dtype)
+                    fr = w @ cr
+                    fi = w @ ci
+                    col, valid = plan.right_map.s2i(bra)
+                    in_blk = valid & (col >= base) \
+                        & (col < base + local_right)
+                    cl = jnp.clip(col - base, 0, local_right - 1)
+                    xp = block[:, cl]
+                    ok = in_blk.astype(dtype)
+                    fr = fr * ok
+                    fi = fi * ok
+                    yr = y[0] + fr * xp[0] - fi * xp[1]
+                    yi = y[1] + fr * xp[1] + fi * xp[0]
+                    return jnp.stack([yr, yi]), None
+
+                y, _ = lax.scan(step, y, (masks_d, signs_d, cr_d, ci_d))
+                block = lax.ppermute(block, axis, perm)
+                return block, y
+
+            _blk, y = lax.fori_loop(0, nd, ring_step, (x_local, y0))
+            if has_pad:
+                y = y * valid_row[None, :]
+            return y
+
+        return jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=P(None, axis),
+                             out_specs=P(None, axis))
 
     def _try_sector_sharded(self, sdim_left):
         """The sector MXU engine on the mesh.

@@ -46,9 +46,13 @@ from jax import lax
 from ..utils.bitwise import popcount, parity
 from . import sectors as sec_mod
 
-# operators with more mask groups than this (e.g. SYK) would unroll into
-# thousands of per-sector channels; they take the scan/ELL engines instead
-SECTOR_GROUP_LIMIT = 512
+# operators with more mask groups than this (e.g. SYK: thousands of
+# non-conserving masks) take the scan/ELL engines instead. Long-range
+# two-body models stay under this for any L <= 63 (O(L^2/2) mask groups:
+# XX and YY share a group), and channel merging keeps the channel count
+# O(sectors + distinct crossing masks), so the limit only exists to stop
+# pathological operators from minutes-long host builds
+SECTOR_GROUP_LIMIT = 2048
 _TOL = 1e-12
 
 

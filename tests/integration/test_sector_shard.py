@@ -157,3 +157,35 @@ def test_memory_scales_with_devices():
     # buffers per device (measured ~12), nowhere near the allgather floor
     # of one full state per device
     assert t8 < 16 * state / 8 + (1 << 16), (t8, state)
+
+
+def test_ring_general_path():
+    """The memory-scaling ring variant of the general scan path (forced
+    via config.sharded_ring_general) matches the all-gather variant and
+    the oracle — exercised on a many-group operator with the sector and
+    ELL engines disabled so the scan path is what runs."""
+    L = 8
+    mesh = with_mesh(8)
+    config.sharded_ring_general = True
+    config.use_sector = False
+    config.use_ell = False
+    try:
+        H = models.syk(L).copy()
+        H.allow_projection = True
+        sub = SpinConserve(L, L // 2)
+        H.add_subspace(sub)
+        kernel = H.get_mat(subspaces=(sub, sub))
+        assert kernel.plan.use_scan
+        dim = sub.get_dimension()
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, dim)).astype(config.real_dtype)
+        xd = device_put_state(x, mesh, dim)
+        got = np.asarray(kernel.traceable(sharded=True)(xd))[:, :dim]
+        local = np.asarray(
+            kernel.traceable(sharded=False)(jnp.asarray(x)))
+        scale = max(np.abs(local).max(), 1e-30)
+        assert np.abs(got - local).max() / scale < 1e-10
+    finally:
+        config.sharded_ring_general = None
+        config.use_sector = True
+        config.use_ell = True
