@@ -384,7 +384,9 @@ def _rayleigh_ritz_extract(H, states, target, nev, getvecs):
                 G = jnp.sum(X[:, :, None, None, :] * Y[None, None, :, :, :],
                             axis=-1)
             else:
-                G = jnp.einsum('kpd,lqd->kplq', X, Y)
+                from jax import lax
+                G = jnp.einsum('kpd,lqd->kplq', X, Y,
+                               precision=lax.Precision.HIGHEST)
             return (G[:, 0, :, 0] + G[:, 1, :, 1],
                     G[:, 0, :, 1] - G[:, 1, :, 0])
         return gram(V, W), gram(V, V)

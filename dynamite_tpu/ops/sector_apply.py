@@ -531,14 +531,38 @@ def build_sector_apply(plan, left, right):
             yi = yi + jnp.einsum('ob,ba->oa', Ni, src[0], precision=prec)
         return jnp.stack([yr, yi])
 
+    # ---- cross-sector matmul batching -----------------------------------
+    # channels sharing the same (deduplicated) matrices — e.g. the merged
+    # low-half A matrix, identical for every sector of a given low weight,
+    # or a cross family's M across the two top-spin copies — run as ONE
+    # matmul over their concatenated source rows. The per-matmul dispatch
+    # floor (~18 us/channel measured at L=24) dominates the sector engine
+    # at chain-model channel counts, so halving the matmul count is a
+    # direct win.
+    col_groups = {}      # matrix identity -> group index
+    groups = []          # [{'members': [(si, so, bidx, W)], 'Mr', 'Mi'}]
+    chan_slot = []       # per col channel: (group id, member rank)
+    for (si, so, b, w, mr_np, mi_np), ch in zip(sp.col_channels,
+                                                col_channels):
+        key = (id(mr_np), None if mi_np is None else id(mi_np),
+               None if b is None else (id(b), True))
+        gid = col_groups.get(key)
+        if gid is None:
+            gid = len(groups)
+            col_groups[key] = gid
+            groups.append({'members': [], 'Mr': ch[4], 'Mi': ch[5]})
+        groups[gid]['members'].append((ch[0], ch[1], ch[2], ch[3]))
+        chan_slot.append((gid, len(groups[gid]['members']) - 1))
+
     # channels grouped by output sector: the apply finalizes one output
     # block at a time through a dynamic_update_slice chain, so XLA cannot
     # keep hundreds of sector-sized channel outputs live simultaneously
     # (unordered accumulation OOMed at 16.3 GB on the 450-channel 27-site
-    # kagome, dim 2.0e7 — the per-block peak is a handful of blocks)
+    # kagome, dim 2.0e7 — the per-block peak is a handful of blocks plus
+    # the pending slices of in-flight batched groups)
     by_out = {o: ([], []) for o in range(len(secs))}
-    for ch in col_channels:
-        by_out[ch[1]][0].append(ch)
+    for ci, ch in enumerate(col_channels):
+        by_out[ch[1]][0].append(chan_slot[ci])
     for ch in row_channels:
         by_out[ch[1]][1].append(ch)
 
@@ -547,17 +571,46 @@ def build_sector_apply(plan, left, right):
         xs = [lax.slice(x, (0, off), (2, off + nb * na)).reshape(2, nb, na)
               for off, (nb, na) in zip(offs, shapes)]
 
+        pending = {}
+
+        def group_out(gid, rank):
+            got = pending.pop((gid, rank), None)
+            if got is not None:
+                return got
+            g = groups[gid]
+            members = g['members']
+            srcs = []
+            for si, _so, bidx, _W in members:
+                s = xs[si]
+                if bidx is not None:
+                    s = jnp.take(s, bidx, axis=1)
+                srcs.append(s)
+            src = srcs[0] if len(srcs) == 1 \
+                else jnp.concatenate(srcs, axis=1)
+            out = cplx_col(src, g['Mr'], g['Mi']).astype(dtype)
+            row0 = 0
+            res = None
+            for r, (si, _so, bidx, _W) in enumerate(members):
+                nrows = (shapes[si][0] if bidx is None
+                         else int(bidx.shape[0]))
+                piece = lax.slice(out, (0, row0, 0),
+                                  (2, row0 + nrows, out.shape[2]))
+                row0 += nrows
+                if r == rank:
+                    res = piece
+                else:
+                    pending[(gid, r)] = piece
+            return res
+
         y = jnp.zeros((2, dim), dtype)
         for so in range(len(secs)):
             cols, rows = by_out[so]
             if not cols and not rows:
                 continue
             acc = None
-            for si, _so, bidx, W, Mr, Mi in cols:
-                src = xs[si]
-                if bidx is not None:
-                    src = jnp.take(src, bidx, axis=1)
-                out = cplx_col(src, Mr, Mi).astype(dtype)
+            for gid, rank in cols:
+                _si, _so2, _bidx, W = groups[gid]['members'][rank]
+                out = group_out(gid, rank)
                 if W is not None:
                     out = out * W[None, :, None].astype(dtype)
                 acc = out if acc is None else acc + out

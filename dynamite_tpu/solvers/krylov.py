@@ -76,7 +76,11 @@ def _basis_dots(V, w, upto_mask):
         # bandwidth-bound dots the MXU brings nothing anyway
         D = jnp.sum(Vv[:, None, :] * w[None, :, :], axis=-1)
     else:
-        D = lax.dot_general(Vv, w, (((1,), (1,)), ((), ())))
+        # HIGHEST: the default single-pass bf16 truncates the operands to
+        # 8 mantissa bits, and orthogonalization against a ~1e-3-accurate
+        # projection visibly drifts the evolved state's norm
+        D = lax.dot_general(Vv, w, (((1,), (1,)), ((), ())),
+                            precision=lax.Precision.HIGHEST)
     D = D.reshape(m, 2, 2)
     re = D[:, 0, 0] + D[:, 1, 1]
     im = D[:, 0, 1] - D[:, 1, 0]
@@ -91,7 +95,8 @@ def _basis_combine(V, cr, ci):
     reshape of the basis materializes a sublane-padded flat copy, measured
     6.4 GB at dim 2^24) and no narrow-minormost intermediate."""
     C = jnp.stack([jnp.stack([cr, -ci]), jnp.stack([ci, cr])])
-    return jnp.einsum('pqk,kqd->pd', C, V)
+    return jnp.einsum('pqk,kqd->pd', C, V,
+                      precision=lax.Precision.HIGHEST)
 
 
 def _orthogonalize(V, w, upto_mask):
@@ -208,7 +213,8 @@ def recombine_basis(V, C):
     revision flattened V to (m1, 2*dim) first; on TPU that reshape
     materializes a sublane-padded copy of the whole basis — see
     docs/performance.md on the (8, 128)-tiling layout pathology.)"""
-    return jnp.einsum('pk,kqd->pqd', C, V)
+    return jnp.einsum('pk,kqd->pqd', C, V,
+                      precision=lax.Precision.HIGHEST)
 
 
 @jax.jit
