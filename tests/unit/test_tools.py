@@ -74,3 +74,26 @@ class TestCvec:
         a, ad = self._pair(7)
         got = np.asarray(cvec.scale_complex(ad, 0.3, -1.2))
         assert np.allclose(got[0] + 1j * got[1], (0.3 - 1.2j) * a)
+
+
+def test_spectral_site_order():
+    """The relabeling is a valid permutation and does not increase the
+    number of bonds crossing the low/high bit-half cut on a 2-D-ish
+    graph (the sector engine's cost driver; tools.spectral_site_order)."""
+    import numpy as np
+    from dynamite_tpu.tools import spectral_site_order
+
+    rng = np.random.default_rng(0)
+    n = 18
+    # a torus-like graph: ring + skip connections
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 5) % n) for i in range(n)]
+    relabel = spectral_site_order(n, edges)
+    assert sorted(relabel) == list(range(n))
+
+    def cut(es):
+        half = n // 2
+        return sum(1 for i, j in es if (i < half) != (j < half))
+
+    new_edges = [(relabel[i], relabel[j]) for i, j in edges]
+    assert cut(new_edges) <= cut(edges)
